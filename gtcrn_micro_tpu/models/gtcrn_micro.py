@@ -1,0 +1,198 @@
+"""GTCRN-Micro: the flagship model, one graph for offline/streaming/training.
+
+Top-level graph (reference gtcrn_micro/models/gtcrn_micro.py:485-532):
+
+    spec (B,F=257,T,2)
+    -> [mag, real, imag] feature stack            (B,T,257,3)   :512-515
+    -> ERB band merge                             (B,T,129,3)   :517
+    -> SFE-Lite depthwise freq conv               (B,T,129,3)   :518
+    -> Encoder (129->65->33 freq, 5 skips)        (B,T,33,16)   :520
+    -> GTCN x2 (8 dilated TCNs, RF ~61 frames)    (B,T,33,16)   :522-523
+    -> Decoder (+skips, 33->65->129)              (B,T,129,2)   :525
+    -> ERB band split                             (B,T,257,2)   :527
+    -> complex ratio mask apply                   (B,F,T,2)     :529-530
+
+The public array API keeps the reference's (B, F, T, 2) spec layout; all
+internal compute is NHWC (B, T, F, C) -- the TPU-native layout.
+
+Streaming: ``init_state`` + ``step`` process arbitrary chunk sizes (T>=1)
+with the same block code (caches replace zero left-padding), replacing the
+reference's hand-synced StreamGTCRNMicro
+(gtcrn_micro/streaming/gtcrn_micro_stream.py:521-574).  State inventory per
+stream matches the reference's canonical shapes (:617-623): 6 conv caches
+(2,33,16), 6 TRA caches (2,8), 8 TCN caches (2d,33,16) for d in 1,2,4,8 x2.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from gtcrn_micro_tpu.dsp.erb import ErbBands
+from gtcrn_micro_tpu.nn.blocks import Decoder, Encoder, GTCN, SFELite
+from gtcrn_micro_tpu.nn.core import Ctx
+
+
+@dataclasses.dataclass(frozen=True)
+class GTCRNMicroConfig:
+    n_fft: int = 512
+    hop_len: int = 256
+    win_len: int = 512
+    erb_subband_1: int = 65
+    erb_subband_2: int = 64
+    channels: int = 16
+
+    @property
+    def n_freqs(self) -> int:
+        return self.n_fft // 2 + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class GTCRNMicro:
+    """Pure-function model: ``init`` -> params, ``apply`` offline,
+    ``init_state``/``step`` streaming.  All methods are jit/vmap/scan safe."""
+
+    config: GTCRNMicroConfig = GTCRNMicroConfig()
+
+    def __post_init__(self):
+        c = self.config
+        object.__setattr__(
+            self, "erb", ErbBands(c.erb_subband_1, c.erb_subband_2, c.n_fft)
+        )
+        object.__setattr__(self, "sfe", SFELite(3))
+        object.__setattr__(self, "encoder", Encoder())
+        object.__setattr__(self, "gtcn1", GTCN(c.channels, name="gtcn1"))
+        object.__setattr__(self, "gtcn2", GTCN(c.channels, name="gtcn2"))
+        object.__setattr__(self, "decoder", Decoder())
+
+    # -- params ------------------------------------------------------------
+
+    def init(self, key) -> dict:
+        ks = jax.random.split(key, 5)
+        return {
+            "erb": self.erb.init_params(),
+            "sfe": self.sfe.init(ks[0]),
+            "encoder": self.encoder.init(ks[1]),
+            "gtcn1": self.gtcn1.init(ks[2]),
+            "gtcn2": self.gtcn2.init(ks[3]),
+            "decoder": self.decoder.init(ks[4]),
+        }
+
+    # -- shared graph ------------------------------------------------------
+
+    def _forward(self, params, spec, ctx: Ctx):
+        """spec: (B, F, T, 2) -> enhanced spec (B, F, T, 2)."""
+        # (B,F,T,2) -> (B,T,F,2); feature stack [mag, real, imag] as channels
+        spec_btf = jnp.swapaxes(spec, 1, 2)
+        real = spec_btf[..., 0]
+        imag = spec_btf[..., 1]
+        mag = jnp.sqrt(real * real + imag * imag + 1e-12)
+        feat = jnp.stack([mag, real, imag], axis=-1)  # (B,T,F,3)
+
+        # ERB band merge over the freq axis (axis=-2 in NHWC)
+        feat = jnp.swapaxes(feat, -1, -2)  # (B,T,3,F)
+        feat = self.erb.bm(params["erb"], feat)
+        feat = jnp.swapaxes(feat, -1, -2)  # (B,T,129,3)
+
+        feat = self.sfe(ctx, params["sfe"], feat)
+        feat, en_outs = self.encoder(ctx, params["encoder"], feat)
+        feat = self.gtcn1(ctx, params["gtcn1"], feat)
+        feat = self.gtcn2(ctx, params["gtcn2"], feat)
+        m_feat = self.decoder(ctx, params["decoder"], feat, en_outs)
+
+        m_feat = jnp.swapaxes(m_feat, -1, -2)  # (B,T,2,129)
+        m = self.erb.bs(params["erb"], m_feat)  # (B,T,2,257)
+        m = jnp.swapaxes(m, -1, -2)  # (B,T,257,2)
+
+        # complex ratio mask (reference :472-482)
+        m_r, m_i = m[..., 0], m[..., 1]
+        s_real = real * m_r - imag * m_i
+        s_imag = imag * m_r + real * m_i
+        out = jnp.stack([s_real, s_imag], axis=-1)  # (B,T,F,2)
+        return jnp.swapaxes(out, 1, 2)  # (B,F,T,2)
+
+    # -- offline -----------------------------------------------------------
+
+    def apply(self, params, spec, *, training: bool = False):
+        """Offline forward.  Returns enhanced spec; in training mode also the
+        collected BN batch stats ({path: value})."""
+        ctx = Ctx(training=training)
+        out = self._forward(params, spec, ctx)
+        if training:
+            return out, ctx.stats
+        return out
+
+    @property
+    def apply_jit(self):
+        """Jit-compiled offline forward (inference mode), cached per model."""
+        return _jitted_apply(self)
+
+    @property
+    def step_jit(self):
+        """Jit-compiled streaming step, cached per model."""
+        return _jitted_step(self)
+
+    @property
+    def scan_frames_jit(self):
+        """Jit-compiled whole-utterance streaming scan, cached per model."""
+        return _jitted_scan(self)
+
+    # -- streaming ---------------------------------------------------------
+
+    def init_state(self, batch: int, dtype=jnp.float32) -> dict:
+        """Zeroed streaming caches (flat dict path->array), batched over
+        ``batch`` concurrent streams."""
+        cfg = self.config
+
+        def trace(params, spec):
+            ctx = Ctx(state={}, initializing=True)
+            self._forward(params, spec, ctx)
+            return ctx.new_state
+
+        params_shape = jax.eval_shape(lambda: self.init(jax.random.PRNGKey(0)))
+        spec_shape = jax.ShapeDtypeStruct((batch, cfg.n_freqs, 1, 2), dtype)
+        shapes = jax.eval_shape(trace, params_shape, spec_shape)
+        return {k: jnp.zeros(v.shape, v.dtype) for k, v in shapes.items()}
+
+    def step(self, params, state: dict, spec: jax.Array):
+        """One streaming step over a chunk: spec (B, F, T_chunk, 2) ->
+        (enhanced (B, F, T_chunk, 2), new_state).  T_chunk may be any static
+        size (1 = frame-by-frame)."""
+        ctx = Ctx(state=state)
+        out = self._forward(params, spec, ctx)
+        return out, ctx.new_state
+
+    def scan_frames(self, params, state: dict, spec: jax.Array):
+        """Stream a whole utterance via lax.scan over frames.
+
+        spec: (B, F, T, 2) -> (enhanced (B, F, T, 2), final state).  This is
+        the sequential-evaluation oracle for streaming==offline tests and the
+        building block for the batched-streams throughput path.
+        """
+
+        def body(carry, frame):
+            # frame: (B, F, 2) -> (B, F, 1, 2)
+            y, new_state = self.step(params, carry, frame[:, :, None, :])
+            return new_state, y[:, :, 0, :]
+
+        frames = jnp.moveaxis(spec, 2, 0)  # (T, B, F, 2)
+        final_state, ys = jax.lax.scan(body, state, frames)
+        return jnp.moveaxis(ys, 0, 2), final_state
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_apply(model: GTCRNMicro):
+    return jax.jit(lambda params, spec: model.apply(params, spec))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_step(model: GTCRNMicro):
+    return jax.jit(model.step)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_scan(model: GTCRNMicro):
+    return jax.jit(model.scan_frames)

@@ -1,0 +1,410 @@
+"""Functional layer core: one graph definition for offline, streaming & training.
+
+Design (SURVEY.md §7): the model is a pure function over a params pytree.  The
+offline path and the frame-streaming path share *the same* block code -- the
+only difference is where a temporal op's left context comes from:
+
+- offline: zeros (equivalent to the reference's causal left zero-padding,
+  reference gtcrn_micro/models/gtcrn_micro.py:237,302)
+- streaming: a cache of the last ``L`` input frames, threaded through a
+  :class:`Ctx` (the reference maintains a hand-synced second model copy for
+  this, gtcrn_micro/streaming/gtcrn_micro_stream.py -- its biggest structural
+  liability; here streaming==offline holds by construction)
+
+Activations are laid out ``(B, T, F, C)`` (NHWC: time=H, freq=W) -- the
+TPU-native layout, so convs lower to MXU-friendly NHWC/HWIO contractions and
+the channel dim sits in lanes.  A streaming step processes ``T`` = chunk
+length (usually 1) with identical code.
+
+Weights are stored in a single canonical layout:
+
+- 2D convs: HWIO ``(kT, kF, C_in/groups, C_out)``; transposed convs are
+  canonicalised at import time to *flipped-kernel plain convs* (the same trick
+  the reference applies only for streaming, conversion/convert.py:36-51),
+  with frequency upsampling expressed as ``lhs_dilation``
+- pointwise/linear: ``(C_in, C_out)`` matrices
+
+so a single ``lax.conv_general_dilated`` call serves conv, deconv, offline and
+streaming modes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# All contractions run at HIGHEST precision: full fp32 accuracy on the MXU
+# (bf16x3 passes).  The model is HBM-bandwidth-bound at serving, so this
+# costs little and preserves >60 dB checkpoint parity; quantized serving
+# paths opt into lower precision explicitly.
+PRECISION = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Context threading: scoping, streaming caches, BN batch-stat collection
+# ---------------------------------------------------------------------------
+
+
+class Ctx:
+    """Per-call context threaded through the layer tree.
+
+    - ``training``: BN uses batch stats and records them in ``stats``
+    - ``state``: incoming streaming caches (flat dict path->array) or None for
+      the offline path (zero left context)
+    - ``new_state``: caches written during a streaming call
+    """
+
+    def __init__(
+        self,
+        *,
+        training: bool = False,
+        state: dict | None = None,
+        initializing: bool = False,
+    ):
+        self.training = training
+        self.state = state if state is not None or not initializing else {}
+        self.initializing = initializing
+        self.new_state: dict[str, Any] = {}
+        self.stats: dict[str, Any] = {}
+        self._path: list[str] = []
+
+    @property
+    def streaming(self) -> bool:
+        return self.state is not None
+
+    def scope(self, name: str) -> "_Scope":
+        return _Scope(self, name)
+
+    def path(self, leaf: str | None = None) -> str:
+        parts = self._path if leaf is None else self._path + [leaf]
+        return "/".join(parts)
+
+    def get_state(self, leaf: str) -> Any:
+        return self.state[self.path(leaf)]
+
+    def put_state(self, leaf: str, value: Any) -> None:
+        self.new_state[self.path(leaf)] = value
+
+    def put_stats(self, leaf: str, value: Any) -> None:
+        self.stats[self.path(leaf)] = value
+
+
+class _Scope:
+    def __init__(self, ctx: Ctx, name: str):
+        self.ctx = ctx
+        self.name = name
+
+    def __enter__(self):
+        self.ctx._path.append(self.name)
+        return self.ctx
+
+    def __exit__(self, *exc):
+        self.ctx._path.pop()
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Initialisation helpers (torch-compatible defaults, for from-scratch training)
+# ---------------------------------------------------------------------------
+
+
+def _kaiming_uniform_conv(key, shape_hwio, groups: int):
+    """torch Conv2d default: kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), ..)."""
+    kT, kF, cin_g, cout = shape_hwio
+    fan_in = kT * kF * cin_g
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape_hwio, jnp.float32, -bound, bound)
+
+
+def _uniform_bias(key, cout: int, fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, (cout,), jnp.float32, -bound, bound)
+
+
+# ---------------------------------------------------------------------------
+# Elementwise activations
+# ---------------------------------------------------------------------------
+
+
+def prelu(x, alpha):
+    """PReLU with a broadcastable alpha (torch default: one shared scalar)."""
+    return jnp.maximum(x, 0) + alpha * jnp.minimum(x, 0)
+
+
+def sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def tanh(x):
+    return jnp.tanh(x)
+
+
+@dataclasses.dataclass(frozen=True)
+class PReLU:
+    """Single-scalar PReLU (matches torch nn.PReLU() num_parameters=1)."""
+
+    def init(self, key) -> dict:
+        return {"alpha": jnp.full((), 0.25, jnp.float32)}
+
+    def __call__(self, params, x):
+        return prelu(x, params["alpha"])
+
+
+# ---------------------------------------------------------------------------
+# BatchNorm (torch BatchNorm2d semantics over (B, T, F, C))
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchNorm:
+    """Per-channel batchnorm matching torch.nn.BatchNorm2d (eps 1e-5, mom 0.1).
+
+    Running stats live in the params tree (non-trainable leaves; the trainer
+    filters them out of the optimizer and folds the batch stats collected in
+    ``ctx.stats`` back in with torch's update rule: biased var for
+    normalisation, unbiased var for the running estimate).
+    """
+
+    channels: int
+    eps: float = 1e-5
+    name: str = "bn"
+
+    def init(self, key) -> dict:
+        c = self.channels
+        return {
+            "gamma": jnp.ones((c,), jnp.float32),
+            "beta": jnp.zeros((c,), jnp.float32),
+            "running_mean": jnp.zeros((c,), jnp.float32),
+            "running_var": jnp.ones((c,), jnp.float32),
+        }
+
+    def __call__(self, ctx: Ctx, params, x):
+        if ctx.training:
+            # reduce over batch, time, freq; channel is last
+            mean = jnp.mean(x, axis=tuple(range(x.ndim - 1)))
+            var = jnp.mean(
+                jnp.square(x - mean), axis=tuple(range(x.ndim - 1))
+            )
+            n = math.prod(x.shape[:-1])
+            with ctx.scope(self.name):
+                ctx.put_stats("batch_mean", mean)
+                ctx.put_stats("batch_var", var * (n / max(n - 1, 1)))  # unbiased
+        else:
+            mean = params["running_mean"]
+            var = params["running_var"]
+        inv = jax.lax.rsqrt(var + self.eps) * params["gamma"]
+        return (x - mean) * inv + params["beta"]
+
+
+# ---------------------------------------------------------------------------
+# The unified temporal/frequency conv primitive
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class CausalConv2d:
+    """Causal-in-time 2D conv over (B, T, F, C_in) -> (B, T', F', C_out).
+
+    Covers every conv in the model family:
+
+    - plain convs (encoder, pointwise, depthwise/grouped): ``freq_up=1``
+    - transposed convs (decoder): canonical flipped-kernel weights with
+      ``freq_up = F_stride`` expressed as ``lhs_dilation`` (the reference's
+      StreamConvTranspose2d zero-stuffing, conversion/convolution.py:218-250,
+      done here by XLA with no materialised zeros)
+
+    Time is always causal: left context of ``(kT-1)*dT`` frames -- zeros when
+    offline, the streamed cache otherwise; both run the same valid conv, so
+    streaming == offline exactly.  The transposed-conv time-truncation of the
+    reference (gtcrn_micro.py:245-249) falls out for free.
+    """
+
+    c_in: int
+    c_out: int
+    kernel: tuple[int, int]  # (kT, kF)
+    freq_stride: int = 1
+    freq_pad: int = 0
+    dilation: tuple[int, int] = (1, 1)
+    groups: int = 1
+    bias: bool = True
+    freq_up: int = 1  # >1: transposed conv along frequency
+    name: str = "conv"
+
+    @property
+    def time_context(self) -> int:
+        return (self.kernel[0] - 1) * self.dilation[0]
+
+    def init(self, key) -> dict:
+        kT, kF = self.kernel
+        wkey, bkey = jax.random.split(key)
+        shape = (kT, kF, self.c_in // self.groups, self.c_out)
+        p = {"w": _kaiming_uniform_conv(wkey, shape, self.groups)}
+        if self.bias:
+            fan_in = kT * kF * self.c_in // self.groups
+            p["b"] = _uniform_bias(bkey, self.c_out, fan_in)
+        return p
+
+    def state_shape(self, batch: int, freq: int) -> tuple[int, ...]:
+        return (batch, self.time_context, freq, self.c_in)
+
+    def __call__(self, ctx: Ctx, params, x):
+        L = self.time_context
+        if L > 0:
+            if ctx.streaming:
+                with ctx.scope(self.name):
+                    if ctx.initializing:
+                        cache = jnp.zeros(
+                            (x.shape[0], L) + x.shape[2:], dtype=x.dtype
+                        )
+                        ctx.put_state("cache", cache)
+                    else:
+                        cache = ctx.get_state("cache")
+                    xin = jnp.concatenate([cache, x], axis=1)
+                    if not ctx.initializing:
+                        ctx.put_state("cache", xin[:, -L:])
+            else:
+                zeros = jnp.zeros(
+                    (x.shape[0], L) + x.shape[2:], dtype=x.dtype
+                )
+                xin = jnp.concatenate([zeros, x], axis=1)
+        else:
+            xin = x
+
+        if self.freq_up > 1:
+            # transposed conv along freq: lhs_dilation + transpose padding.
+            # XLA pads the *dilated* input of size (F-1)*up+1, so the torch
+            # ConvTranspose2d geometry is the symmetric pad below.
+            fp = self.dilation[1] * (self.kernel[1] - 1) - self.freq_pad
+            pad_f = (fp, fp)
+            lhs_dilation = (1, self.freq_up)
+            window_strides = (1, 1)
+        else:
+            pad_f = (self.freq_pad, self.freq_pad)
+            lhs_dilation = (1, 1)
+            window_strides = (1, self.freq_stride)
+
+        out = jax.lax.conv_general_dilated(
+            xin,
+            params["w"],
+            window_strides=window_strides,
+            padding=[(0, 0), pad_f],
+            lhs_dilation=lhs_dilation,
+            rhs_dilation=self.dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+            precision=PRECISION,
+        )
+        if self.bias:
+            out = out + params["b"]
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Pointwise (1x1) conv as a plain matmul -- keeps the MXU fed
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class Pointwise:
+    """1x1 conv over channels as ``x @ W + b`` on (B, T, F, C)."""
+
+    c_in: int
+    c_out: int
+    bias: bool = True
+    name: str = "pw"
+
+    def init(self, key) -> dict:
+        wkey, bkey = jax.random.split(key)
+        bound = 1.0 / math.sqrt(self.c_in)
+        p = {
+            "w": jax.random.uniform(
+                wkey, (self.c_in, self.c_out), jnp.float32, -bound, bound
+            )
+        }
+        if self.bias:
+            p["b"] = _uniform_bias(bkey, self.c_out, self.c_in)
+        return p
+
+    def __call__(self, params, x):
+        out = jnp.dot(x, params["w"], precision=PRECISION)
+        if self.bias:
+            out = out + params["b"]
+        return out
+
+
+# ---------------------------------------------------------------------------
+# TRA-Lite: temporal recurrent attention without RNNs
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TRALite:
+    """Frame-energy gate (reference gtcrn_micro.py:94-139).
+
+    energy e=(x*x).mean(freq) -> causal depthwise conv1d (k=3, cache L=2) ->
+    pointwise conv1d -> sigmoid -> gate ``x * g``.  The cache holds the last
+    ``L`` energy frames, exactly the reference's canonical
+    ``tra_cache`` (B, C, 2) laid out here as (B, 2, C).
+    """
+
+    channels: int
+    kernel: int = 3
+    name: str = "tra"
+
+    @property
+    def time_context(self) -> int:
+        return self.kernel - 1
+
+    def init(self, key) -> dict:
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        c, k = self.channels, self.kernel
+        # depthwise conv1d: torch weight (C, 1, k) -> canonical (k, C)
+        bound_d = 1.0 / math.sqrt(k)
+        bound_p = 1.0 / math.sqrt(c)
+        return {
+            "depth_w": jax.random.uniform(k1, (k, c), jnp.float32, -bound_d, bound_d),
+            "depth_b": jax.random.uniform(k2, (c,), jnp.float32, -bound_d, bound_d),
+            "point_w": jax.random.uniform(
+                k3, (c, c), jnp.float32, -bound_p, bound_p
+            ),
+            "point_b": jax.random.uniform(k4, (c,), jnp.float32, -bound_p, bound_p),
+        }
+
+    def state_shape(self, batch: int) -> tuple[int, ...]:
+        return (batch, self.time_context, self.channels)
+
+    def __call__(self, ctx: Ctx, params, x):
+        """x: (B, T, F, C) -> gated x, same shape."""
+        e = jnp.mean(x * x, axis=2)  # (B, T, C)
+        L = self.time_context
+        if L > 0:
+            if ctx.streaming:
+                with ctx.scope(self.name):
+                    if ctx.initializing:
+                        cache = jnp.zeros(
+                            (e.shape[0], L, e.shape[2]), dtype=e.dtype
+                        )
+                        ctx.put_state("cache", cache)
+                    else:
+                        cache = ctx.get_state("cache")
+                    e_cat = jnp.concatenate([cache, e], axis=1)
+                    if not ctx.initializing:
+                        ctx.put_state("cache", e_cat[:, -L:])
+            else:
+                zeros = jnp.zeros((e.shape[0], L, e.shape[2]), dtype=e.dtype)
+                e_cat = jnp.concatenate([zeros, e], axis=1)
+        else:
+            e_cat = e
+        # causal depthwise conv over time: sum of k shifted slices (cheap VPU)
+        T = e.shape[1]
+        y = params["depth_b"]
+        for i in range(self.kernel):
+            y = y + e_cat[:, i : i + T, :] * params["depth_w"][i]
+        g = jnp.dot(y, params["point_w"], precision=PRECISION)
+        g = jax.nn.sigmoid(g + params["point_b"])
+        return x * g[:, :, None, :]

@@ -1,0 +1,76 @@
+"""STFT/iSTFT parity vs torch.stft/torch.istft (the reference's DSP layer).
+
+The reference inlines torch.stft at every entry point (train.py:247-263,
+infer.py:60-67, loss.py:45-58) with two window variants (hann, hann^0.5).
+These tests pin our jittable implementation to torch bit-close in fp32.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gtcrn_micro_tpu.dsp import hann_window, sqrt_hann_window, stft, istft
+
+torch = pytest.importorskip("torch")
+
+
+def _torch_stft(x, window):
+    return torch.stft(
+        torch.from_numpy(x), 512, 256, 512, window, return_complex=False
+    ).numpy()
+
+
+@pytest.mark.parametrize("win_kind", ["hann", "sqrt_hann"])
+@pytest.mark.parametrize("n_samples", [16000, 16001, 40000])
+def test_stft_matches_torch(win_kind, n_samples):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(n_samples).astype(np.float32)
+
+    if win_kind == "hann":
+        tw = torch.hann_window(512)
+        jw = hann_window(512)
+    else:
+        tw = torch.hann_window(512).pow(0.5)
+        jw = sqrt_hann_window(512)
+
+    ref = _torch_stft(x, tw)  # (F, T, 2)
+    out = np.asarray(stft(jnp.asarray(x), jw))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-5)
+
+
+def test_stft_window_matches_torch():
+    tw = torch.hann_window(512).numpy()
+    np.testing.assert_allclose(np.asarray(hann_window(512)), tw, atol=1e-6)
+    tws = torch.hann_window(512).pow(0.5).numpy()
+    np.testing.assert_allclose(np.asarray(sqrt_hann_window(512)), tws, atol=1e-6)
+
+
+@pytest.mark.parametrize("n_samples", [16000, 40000])
+def test_istft_matches_torch(n_samples):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(n_samples).astype(np.float32)
+    tw = torch.hann_window(512).pow(0.5)
+    spec_t = torch.stft(torch.from_numpy(x), 512, 256, 512, tw, return_complex=True)
+    ref = torch.istft(spec_t, 512, 256, 512, tw).numpy()
+
+    spec = np.stack([spec_t.real.numpy(), spec_t.imag.numpy()], axis=-1)
+    out = np.asarray(istft(jnp.asarray(spec), sqrt_hann_window(512)))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-5)
+
+
+def test_istft_batched_and_length():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((3, 16000)).astype(np.float32)
+    jw = sqrt_hann_window(512)
+    spec = stft(jnp.asarray(x), jw)
+    y = istft(spec, jw)
+    assert y.shape == (3, 256 * (spec.shape[2] - 1))
+    y2 = istft(spec, jw, length=16000)
+    assert y2.shape == (3, 16000)
+    # round trip reconstructs the interior
+    np.testing.assert_allclose(
+        np.asarray(y2)[:, 512:-512], x[:, 512:-512], atol=1e-4
+    )

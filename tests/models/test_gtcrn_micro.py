@@ -1,0 +1,148 @@
+"""Model-level golden properties (reference test strategy, SURVEY.md §4):
+
+1. causality  -- two signals sharing a prefix produce identical outputs over
+   the prefix and different ones after divergence
+   (pattern: reference tests/models/test_gtcrn_micro.py:6-39)
+2. streaming == offline -- frame-by-frame scan equals the offline pass
+   (pattern: reference tests/streaming/conversion/test_convolution.py)
+3. checkpoint parity -- >60 dB SNR vs the reference PyTorch model running the
+   shipped best_model_dns3.tar (the round-1 gate from SURVEY.md §7.2)
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gtcrn_micro_tpu.dsp import sqrt_hann_window, stft, istft
+from gtcrn_micro_tpu.models import GTCRNMicro
+
+CKPT = "/root/reference/gtcrn_micro/ckpts/best_model_dns3.tar"
+
+
+@pytest.fixture(scope="module")
+def model():
+    return GTCRNMicro()
+
+
+@pytest.fixture(scope="module")
+def params(model):
+    return model.init(jax.random.PRNGKey(0))
+
+
+def test_forward_shapes(model, params):
+    spec = jax.random.normal(jax.random.PRNGKey(1), (2, 257, 7, 2))
+    out = model.apply_jit(params, spec)
+    assert out.shape == (2, 257, 7, 2)
+
+
+def test_causality(model, params):
+    """Architecture-level causality on an untrained model."""
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((1, 8000)).astype(np.float32)
+    b = rng.standard_normal((1, 8000)).astype(np.float32)
+    c = rng.standard_normal((1, 8000)).astype(np.float32)
+    x1 = np.concatenate([a, b], axis=1)
+    x2 = np.concatenate([a, c], axis=1)
+
+    w = sqrt_hann_window(512)
+    s1 = stft(jnp.asarray(x1), w)
+    s2 = stft(jnp.asarray(x2), w)
+    y1 = istft(model.apply_jit(params, s1), w)[0]
+    y2 = istft(model.apply_jit(params, s2), w)[0]
+
+    prefix = 8000 - 256 * 2
+    res1 = np.abs(np.asarray(y1[:prefix] - y2[:prefix])).max()
+    res2 = np.abs(np.asarray(y1[8000:] - y2[8000:])).max()
+    assert res1 == 0.0
+    assert res2 > 0.0
+
+
+def test_streaming_equals_offline(model, params):
+    spec = jax.random.normal(jax.random.PRNGKey(2), (2, 257, 12, 2)) * 0.5
+    offline = model.apply_jit(params, spec)
+    state = model.init_state(2)
+    streamed, _ = model.scan_frames_jit(params, state, spec)
+    np.testing.assert_allclose(
+        np.asarray(streamed), np.asarray(offline), atol=1e-5
+    )
+
+
+def test_streaming_chunked_equals_offline(model, params):
+    """Chunk streaming (T_chunk=3) must also equal offline -- a capability the
+    reference's frame-only streaming model doesn't have."""
+    spec = jax.random.normal(jax.random.PRNGKey(3), (1, 257, 12, 2)) * 0.5
+    offline = model.apply_jit(params, spec)
+    state = model.init_state(1)
+    outs = []
+    for t0 in range(0, 12, 3):
+        y, state = model.step_jit(params, state, spec[:, :, t0 : t0 + 3, :])
+        outs.append(np.asarray(y))
+    streamed = np.concatenate(outs, axis=2)
+    np.testing.assert_allclose(streamed, np.asarray(offline), atol=1e-5)
+
+
+def test_state_shapes_match_reference_inventory(model):
+    """Canonical per-stream state (SURVEY.md §2.2 / reference :617-623)."""
+    state = model.init_state(4)
+    conv = [k for k in state if k.endswith("depth_conv/cache")]
+    tra = [k for k in state if k.endswith("tra/cache")]
+    tcn = [k for k in state if "/conv2/cache" in k]
+    assert len(conv) == 6 and all(state[k].shape == (4, 2, 33, 16) for k in conv)
+    assert len(tra) == 6 and all(state[k].shape == (4, 2, 8) for k in tra)
+    assert len(tcn) == 8
+    dils = sorted(state[k].shape[1] for k in tcn)
+    assert dils == [2, 2, 4, 4, 8, 8, 16, 16]
+
+
+def test_param_count_matches_reference(model, params):
+    n_trainable = 0
+    for path, v in jax.tree_util.tree_leaves_with_path(params):
+        p = jax.tree_util.keystr(path)
+        if "erb" in p or "running" in p:
+            continue
+        n_trainable += int(np.prod(v.shape))
+    assert n_trainable == 19014  # 19.01k (reference gtcrn_micro/README.md:25)
+
+
+@pytest.mark.parametrize("n_samples", [16000])
+def test_checkpoint_parity_vs_reference(n_samples):
+    """>60 dB SNR vs the reference PyTorch model on the shipped checkpoint."""
+    torch = pytest.importorskip("torch")
+    import os
+    import sys
+
+    if not os.path.exists(CKPT):
+        pytest.skip("reference checkpoint unavailable")
+    sys.path.insert(0, "/root/reference")
+    try:
+        from gtcrn_micro.models.gtcrn_micro import GTCRNMicro as TorchModel
+    finally:
+        sys.path.pop(0)
+
+    from gtcrn_micro_tpu.io import import_reference_checkpoint
+
+    tm = TorchModel().eval()
+    ckpt = torch.load(CKPT, map_location="cpu", weights_only=False)
+    tm.load_state_dict(ckpt["model"])
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(n_samples).astype(np.float32) * 0.1
+    spec_t = torch.stft(
+        torch.from_numpy(x),
+        512,
+        256,
+        512,
+        torch.hann_window(512).pow(0.5),
+        return_complex=False,
+    )[None]
+    with torch.no_grad():
+        ref = tm(spec_t).numpy()
+
+    model = GTCRNMicro()
+    params = import_reference_checkpoint(CKPT)
+    out = np.asarray(model.apply_jit(params, jnp.asarray(spec_t.numpy())))
+
+    snr = 10 * np.log10(np.mean(ref**2) / np.mean((out - ref) ** 2))
+    assert snr > 60.0, f"checkpoint parity SNR {snr:.1f} dB < 60 dB"
