@@ -1,0 +1,102 @@
+"""Intrusive metric evaluation CLI (reference eval/eval_intrusive_metrics.py).
+
+``python -m gtcrn_micro_tpu.eval.intrusive --ref_scp ref.scp --inf_scp inf.scp
+--output_dir RESULTS [--nsplits N --job J]``
+
+Computes SDR / SI-SNR / PESQ-wb / STOI per ref/inf pair (process pool),
+writes per-metric ``.scp`` files and a ``RESULTS.txt`` of nanmeans -- byte
+format compatible with the reference (:124-139).  PESQ is NaN when the
+optional ``pesq`` package is absent (this environment ships no PESQ; the
+column is still emitted so downstream tooling sees the same schema).
+
+``--nsplits/--job`` give the same manual job sharding as the reference's
+DNSMOS eval (eval_nonintrusive_dnsmos.py:56-66).
+"""
+
+from __future__ import annotations
+
+import argparse
+import concurrent.futures as cf
+import os
+
+import numpy as np
+
+from gtcrn_micro_tpu.eval.metrics import (
+    pesq_metric,
+    sdr_metric,
+    sisnr_metric,
+    stoi_metric,
+)
+from gtcrn_micro_tpu.io.wav import read_wav, resample
+
+METRICS = ["SDR", "SI_SNR", "PESQ", "STOI"]
+
+
+def read_scp(path: str) -> dict[str, str]:
+    out = {}
+    with open(path) as f:
+        for line in f:
+            uid, audio_path = line.strip().split(maxsplit=1)
+            out[uid] = audio_path
+    return out
+
+
+def process_one_pair(item: tuple[str, str, str], fs: int = 16000):
+    uid, ref_path, inf_path = item
+    ref, fs_r = read_wav(ref_path)
+    inf, fs_i = read_wav(inf_path)
+    if ref.ndim > 1:
+        ref = ref[:, 0]
+    if inf.ndim > 1:
+        inf = inf[:, 0]
+    if fs_r != fs:
+        ref = resample(ref, fs_r, fs)
+    if fs_i != fs:
+        inf = resample(inf, fs_i, fs)
+    n = min(len(ref), len(inf))
+    ref, inf = ref[:n], inf[:n]
+    pesq = pesq_metric(ref, inf, fs)
+    return uid, {
+        "SDR": sdr_metric(ref, inf),
+        "SI_SNR": sisnr_metric(ref, inf),
+        "PESQ": float("nan") if pesq is None else pesq,
+        "STOI": stoi_metric(ref, inf, fs),
+    }
+
+
+def main(args=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ref_scp", required=True)
+    parser.add_argument("--inf_scp", required=True)
+    parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--nj", type=int, default=8)
+    parser.add_argument("--nsplits", type=int, default=1)
+    parser.add_argument("--job", type=int, default=1)
+    ns = parser.parse_args(args)
+
+    refs = read_scp(ns.ref_scp)
+    pairs = [
+        (uid, refs[uid], path) for uid, path in read_scp(ns.inf_scp).items()
+    ]
+    if ns.nsplits > 1:  # manual job sharding (reference dnsmos :56-66)
+        pairs = pairs[ns.job - 1 :: ns.nsplits]
+
+    with cf.ProcessPoolExecutor(max_workers=ns.nj) as pool:
+        ret = list(pool.map(process_one_pair, pairs))
+
+    os.makedirs(ns.output_dir, exist_ok=True)
+    suffix = f".{ns.job}" if ns.nsplits > 1 else ""
+    for metric in METRICS:
+        with open(os.path.join(ns.output_dir, f"{metric}.scp{suffix}"), "w") as f:
+            f.writelines(f"{uid} {score[metric]}\n" for uid, score in ret)
+
+    with open(os.path.join(ns.output_dir, f"RESULTS.txt{suffix}"), "w") as f:
+        for metric in METRICS:
+            mean = np.nanmean([score[metric] for _, score in ret])
+            f.write(f"{metric}: {mean:.4f}\n")
+    print(f"Overall results have been written in "
+          f"{os.path.join(ns.output_dir, 'RESULTS.txt' + suffix)}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -174,10 +174,17 @@ class PrefetchLoader:
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
 
-        with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+        # Two pools: batch-level tasks must not share workers with item-level
+        # loads, else every worker can end up inside load_batch waiting on
+        # item futures that have no worker left to run them (deadlock).
+        with cf.ThreadPoolExecutor(
+            max_workers=max(self.prefetch + 1, 1)
+        ) as batch_pool, cf.ThreadPoolExecutor(
+            max_workers=self.num_workers
+        ) as item_pool:
 
             def load_batch(idxs):
-                items = list(pool.map(self.dataset.load_item, idxs))
+                items = list(item_pool.map(self.dataset.load_item, idxs))
                 noisy = np.stack([it[0] for it in items])
                 clean = np.stack([it[1] for it in items])
                 return noisy, clean
@@ -190,7 +197,7 @@ class PrefetchLoader:
             def submit_next():
                 b = next(it, sentinel)
                 if b is not sentinel:
-                    pending.append(pool.submit(load_batch, b))
+                    pending.append(batch_pool.submit(load_batch, b))
 
             for _ in range(self.prefetch + 1):
                 submit_next()

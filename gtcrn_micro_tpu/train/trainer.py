@@ -1,0 +1,181 @@
+"""Data-parallel trainer: one jit-compiled update step over a device mesh.
+
+TPU-native redesign of the reference Trainer (train.py:114-444):
+
+- the whole hot path (STFT of noisy+clean -> forward -> loss -> backward ->
+  clip -> Adam -> BN running-stat fold) is ONE jit'd function; the reference
+  crosses Python/device boundaries several times per step
+- data parallelism is SPMD: batch sharded over the ``data`` mesh axis, params
+  replicated; XLA fuses the gradient all-reduce into the backward pass
+  (replaces DDP + NCCL + DistributedSampler + mp.spawn, train.py:37-111,
+  utils/distributed_utils.py)
+- training analysis STFT uses the *plain* Hann window exactly like the
+  reference trainer (train.py:252); the loss's internal iSTFT uses sqrt-Hann
+  (loss.py:50) -- the reference's window inconsistency, preserved deliberately
+- LR schedule is part of the compiled step (per-step warmup-cosine, matching
+  scheduler update_interval=step in cfg_train_DNS3.yaml)
+- ERB filters and BN running stats are frozen via optax.multi_transform
+  (reference: requires_grad=False, gtcrn_micro.py:24-25)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gtcrn_micro_tpu.dsp.stft import hann_window, stft
+from gtcrn_micro_tpu.models.gtcrn_micro import GTCRNMicro
+from gtcrn_micro_tpu.nn.core import Ctx
+from gtcrn_micro_tpu.train.loss import HybridLossConfig, hybrid_loss
+from gtcrn_micro_tpu.train.scheduler import WarmupCosineConfig, warmup_cosine_lr
+
+BN_MOMENTUM = 0.1  # torch BatchNorm2d default
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    epochs: int = 400
+    clip_grad_norm: float = 3.0
+    save_checkpoint_interval: int = 1
+    exp_path: str = "exp/gtcrn_micro"
+    resume: bool = False
+    samplerate: int = 16000
+    n_fft: int = 512
+    hop_len: int = 256
+    win_len: int = 512
+    log_every: int = 50
+
+
+def param_labels(params) -> Any:
+    """'train' for trainable leaves, 'freeze' for ERB filters / BN stats."""
+
+    def label(path, _v):
+        p = jax.tree_util.keystr(path)
+        frozen = "erb" in p or "running_mean" in p or "running_var" in p
+        return "freeze" if frozen else "train"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_optimizer(
+    params,
+    sched_cfg: WarmupCosineConfig = WarmupCosineConfig(),
+    clip_grad_norm: float = 3.0,
+) -> optax.GradientTransformation:
+    """clip-by-global-norm -> Adam with per-step warmup-cosine LR, frozen
+    leaves excluded (matches reference train.py:90-92,282)."""
+    schedule = lambda count: warmup_cosine_lr(count, sched_cfg)  # noqa: E731
+    adam = optax.chain(
+        optax.clip_by_global_norm(clip_grad_norm),
+        optax.scale_by_adam(),
+        optax.scale_by_learning_rate(schedule),
+    )
+    return optax.multi_transform(
+        {"train": adam, "freeze": optax.set_to_zero()}, param_labels(params)
+    )
+
+
+def apply_bn_stats(params, stats: dict, momentum: float = BN_MOMENTUM):
+    """Fold collected batch stats into running stats (torch update rule:
+    biased var normalises inside the forward, unbiased var accumulates here).
+
+    Purely functional tree rebuild -- jit/tracer safe.
+    """
+    grouped: dict[tuple, dict] = {}
+    for path, value in stats.items():
+        *parts, leaf = path.split("/")
+        grouped.setdefault(tuple(parts), {})[leaf] = value
+
+    consumed = set()
+
+    def rec(node, prefix):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            p = prefix + (k,)
+            if p in grouped and isinstance(v, dict):
+                upd = grouped[p]
+                consumed.add(p)
+                nv = dict(v)
+                if "batch_mean" in upd:
+                    nv["running_mean"] = (
+                        (1.0 - momentum) * nv["running_mean"]
+                        + momentum * upd["batch_mean"]
+                    )
+                if "batch_var" in upd:
+                    nv["running_var"] = (
+                        (1.0 - momentum) * nv["running_var"]
+                        + momentum * upd["batch_var"]
+                    )
+                out[k] = nv
+            else:
+                out[k] = rec(v, p)
+        return out
+
+    new_params = rec(params, ())
+    missing = set(grouped) - consumed
+    if missing:
+        raise KeyError(f"BN stats with no matching params: {sorted(missing)}")
+    return new_params
+
+
+def make_train_step(
+    model: GTCRNMicro,
+    optimizer: optax.GradientTransformation,
+    loss_cfg: HybridLossConfig = HybridLossConfig(),
+    trainer_cfg: TrainerConfig = TrainerConfig(),
+) -> Callable:
+    """Returns jit-able ``step(params, opt_state, noisy, clean) ->
+    (params, opt_state, loss)`` with noisy/clean (B, samples)."""
+    window = hann_window(trainer_cfg.win_len)
+
+    def compute_loss(params, noisy, clean):
+        noisy_spec = stft(
+            noisy, window, trainer_cfg.n_fft, trainer_cfg.hop_len, trainer_cfg.win_len
+        )
+        clean_spec = stft(
+            clean, window, trainer_cfg.n_fft, trainer_cfg.hop_len, trainer_cfg.win_len
+        )
+        ctx = Ctx(training=True)
+        enhanced = model._forward(params, noisy_spec, ctx)
+        return hybrid_loss(enhanced, clean_spec, loss_cfg), ctx.stats
+
+    def train_step(params, opt_state, noisy, clean):
+        (loss, stats), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+            params, noisy, clean
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = apply_bn_stats(params, stats)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def make_eval_step(
+    model: GTCRNMicro,
+    loss_cfg: HybridLossConfig = HybridLossConfig(),
+    trainer_cfg: TrainerConfig = TrainerConfig(),
+) -> Callable:
+    """Returns jit-able ``eval_step(params, noisy, clean) ->
+    (loss, enhanced_spec)`` using running BN stats (eval mode)."""
+    window = hann_window(trainer_cfg.win_len)
+
+    def eval_step(params, noisy, clean):
+        noisy_spec = stft(
+            noisy, window, trainer_cfg.n_fft, trainer_cfg.hop_len, trainer_cfg.win_len
+        )
+        clean_spec = stft(
+            clean, window, trainer_cfg.n_fft, trainer_cfg.hop_len, trainer_cfg.win_len
+        )
+        enhanced = model.apply(params, noisy_spec)
+        loss = hybrid_loss(enhanced, clean_spec, loss_cfg)
+        return loss, enhanced
+
+    return eval_step

@@ -8,7 +8,10 @@ dry-run-compiles the real multi-chip path via ``__graft_entry__.dryrun_multichip
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, don't setdefault: the host environment pins JAX_PLATFORMS to the
+# real TPU tunnel AND pre-imports jax at interpreter startup (sitecustomize),
+# so the env var alone is too late — use jax.config below as well.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,9 +20,11 @@ if "xla_force_host_platform_device_count" not in flags:
 # Keep float32 matmuls exact on CPU for parity tests.
 os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
 
-# Persistent compilation cache: full-model CPU compiles take ~1 min each;
-# caching them makes repeat test runs fast.
 import jax  # noqa: E402
+
+# Backend init is lazy, so this redirect works even though jax was already
+# imported by sitecustomize; XLA_FLAGS is likewise read at backend init.
+jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/gtcrn_micro_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
