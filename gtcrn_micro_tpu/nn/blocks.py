@@ -127,7 +127,7 @@ class GTConvBlock:
 
     def __post_init__(self):
         half = self.c_in // 2
-        object.__setattr__(self, "point1", Pointwise(half, self.hidden))
+        object.__setattr__(self, "point1", Pointwise(half, self.hidden, name="pw1"))
         object.__setattr__(self, "bn1", BatchNorm(self.hidden, name="point_bn1"))
         depth = CausalConv2d(
             self.hidden,
@@ -141,7 +141,7 @@ class GTConvBlock:
         )
         object.__setattr__(self, "depth", depth)
         object.__setattr__(self, "bn2", BatchNorm(self.hidden, name="depth_bn"))
-        object.__setattr__(self, "point2", Pointwise(self.hidden, half))
+        object.__setattr__(self, "point2", Pointwise(self.hidden, half, name="pw2"))
         object.__setattr__(self, "bn3", BatchNorm(half, name="point_bn2"))
         object.__setattr__(self, "tra", TRALite(half))
 
@@ -170,7 +170,7 @@ class GTConvBlock:
             half = self.c_in // 2
             x1, x2 = x[..., :half], x[..., half:]
 
-            h = self.point1(params["point_conv1"], x1)
+            h = self.point1(ctx, params["point_conv1"], x1)
             h = self.bn1(ctx, params["point_bn1"], h)
             a = params["point_act"]["alpha"]
             h = jnp.maximum(h, 0) + a * jnp.minimum(h, 0)
@@ -180,7 +180,7 @@ class GTConvBlock:
             a = params["depth_act"]["alpha"]
             h = jnp.maximum(h, 0) + a * jnp.minimum(h, 0)
 
-            h = self.point2(params["point_conv2"], h)
+            h = self.point2(ctx, params["point_conv2"], h)
             h = self.bn3(ctx, params["point_bn2"], h)
 
             h = self.tra(ctx, params["tra"], h)
@@ -198,7 +198,7 @@ class TCN:
 
     def __post_init__(self):
         c = self.channels
-        object.__setattr__(self, "pw1", Pointwise(c, c))
+        object.__setattr__(self, "pw1", Pointwise(c, c, name="pw1"))
         object.__setattr__(self, "bn1", BatchNorm(c, name="bn1"))
         depth = CausalConv2d(
             c,
@@ -210,7 +210,7 @@ class TCN:
         )
         object.__setattr__(self, "depth", depth)
         object.__setattr__(self, "bn2", BatchNorm(c, name="bn2"))
-        object.__setattr__(self, "pw3", Pointwise(c, c))
+        object.__setattr__(self, "pw3", Pointwise(c, c, name="pw3"))
         object.__setattr__(self, "bn3", BatchNorm(c, name="bn3"))
 
     def init(self, key):
@@ -230,7 +230,7 @@ class TCN:
     def __call__(self, ctx: Ctx, params, x):
         with ctx.scope(self.name):
             residual = x
-            y = self.pw1(params["conv1"], x)
+            y = self.pw1(ctx, params["conv1"], x)
             y = self.bn1(ctx, params["bn1"], y)
             y = jnp.maximum(y, 0) + params["act1"]["alpha"] * jnp.minimum(y, 0)
 
@@ -238,7 +238,7 @@ class TCN:
             y = self.bn2(ctx, params["bn2"], y)
             y = jnp.maximum(y, 0) + params["act2"]["alpha"] * jnp.minimum(y, 0)
 
-            y = self.pw3(params["conv3"], y)
+            y = self.pw3(ctx, params["conv3"], y)
             y = self.bn3(ctx, params["bn3"], y)
 
             res = y + residual

@@ -72,6 +72,10 @@ class Ctx:
         self.new_state: dict[str, Any] = {}
         self.stats: dict[str, Any] = {}
         self._path: list[str] = []
+        # Optional quantization hook (duck-typed, see quant/): an object with
+        # ``act(ctx, leaf, x)`` and ``weight(ctx, leaf, w, channel_axis)``
+        # called at every conv/matmul boundary.  None = fp32 path, zero cost.
+        self.quant: Any = None
 
     @property
     def streaming(self) -> bool:
@@ -275,6 +279,12 @@ class CausalConv2d:
         else:
             xin = x
 
+        w = params["w"]
+        if ctx.quant is not None:
+            with ctx.scope(self.name):
+                xin = ctx.quant.act(ctx, "in", xin)
+                w = ctx.quant.weight(ctx, "w", w, 3)
+
         if self.freq_up > 1:
             # transposed conv along freq: lhs_dilation + transpose padding.
             # XLA pads the *dilated* input of size (F-1)*up+1, so the torch
@@ -290,7 +300,7 @@ class CausalConv2d:
 
         out = jax.lax.conv_general_dilated(
             xin,
-            params["w"],
+            w,
             window_strides=window_strides,
             padding=[(0, 0), pad_f],
             lhs_dilation=lhs_dilation,
@@ -330,8 +340,13 @@ class Pointwise:
             p["b"] = _uniform_bias(bkey, self.c_out, self.c_in)
         return p
 
-    def __call__(self, params, x):
-        out = jnp.dot(x, params["w"], precision=PRECISION)
+    def __call__(self, ctx: Ctx, params, x):
+        w = params["w"]
+        if ctx.quant is not None:
+            with ctx.scope(self.name):
+                x = ctx.quant.act(ctx, "in", x)
+                w = ctx.quant.weight(ctx, "w", w, 1)
+        out = jnp.dot(x, w, precision=PRECISION)
         if self.bias:
             out = out + params["b"]
         return out
@@ -400,11 +415,20 @@ class TRALite:
                 e_cat = jnp.concatenate([zeros, e], axis=1)
         else:
             e_cat = e
+        depth_w, point_w = params["depth_w"], params["point_w"]
+        if ctx.quant is not None:
+            with ctx.scope(self.name):
+                e_cat = ctx.quant.act(ctx, "energy", e_cat)
+                depth_w = ctx.quant.weight(ctx, "depth_w", depth_w, 1)
         # causal depthwise conv over time: sum of k shifted slices (cheap VPU)
         T = e.shape[1]
         y = params["depth_b"]
         for i in range(self.kernel):
-            y = y + e_cat[:, i : i + T, :] * params["depth_w"][i]
-        g = jnp.dot(y, params["point_w"], precision=PRECISION)
+            y = y + e_cat[:, i : i + T, :] * depth_w[i]
+        if ctx.quant is not None:
+            with ctx.scope(self.name):
+                y = ctx.quant.act(ctx, "gate_in", y)
+                point_w = ctx.quant.weight(ctx, "point_w", point_w, 1)
+        g = jnp.dot(y, point_w, precision=PRECISION)
         g = jax.nn.sigmoid(g + params["point_b"])
         return x * g[:, :, None, :]

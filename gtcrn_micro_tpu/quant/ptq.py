@@ -1,0 +1,146 @@
+"""Post-training quantization: range observation -> int8 fake-quant model.
+
+Pipeline (reference equivalent: onnx2tf full-integer PTQ with a calibration
+set, scripts/onnx2tf.sh + utils/calibration_data.py):
+
+1. ``observe_ranges(model, params, calib_specs)`` -- jit-compiled forward
+   passes with a ``RangeObserver`` hooked into every conv/matmul boundary
+   (nn/core.py ctx.quant); per-path min/max merged across batches on host.
+2. ``make_quantizer(params, ranges)`` -- freeze activation qparams
+   (per-tensor asymmetric) and weight qparams (per-channel symmetric).
+3. ``quantized_apply / quantized_step`` -- same model graph with int8
+   fake-quant at every boundary: the TPU-native analog of the int8 .tflite
+   artifact.  QAT = run the trainer with ``ctx.quant`` set to the same
+   quantizer (straight-through gradients).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from gtcrn_micro_tpu.nn.core import Ctx
+from gtcrn_micro_tpu.quant.fake_quant import (
+    QParams,
+    act_qparams,
+    fake_quant,
+    weight_qparams,
+)
+
+
+class RangeObserver:
+    """ctx.quant hook that records per-path activation ranges.
+
+    Ranges are percentile-clipped (default p99.99, mirroring the reference's
+    input calibration ``2 * p99.99 * 1.06``, utils/calibration_data.py:97-98):
+    hard min/max lets one outlier blow up the scale and destroy int8
+    resolution for the bulk of the distribution.
+    """
+
+    def __init__(self, percentile: float = 99.99):
+        self.percentile = percentile
+        self.ranges: dict[str, tuple[jax.Array, jax.Array]] = {}
+
+    def act(self, ctx: Ctx, leaf: str, x):
+        path = ctx.path(leaf)
+        p = self.percentile
+        self.ranges[path] = (
+            jnp.percentile(x, 100.0 - p),
+            jnp.percentile(x, p),
+        )
+        return x
+
+    def weight(self, ctx: Ctx, leaf: str, w, channel_axis: int):
+        return w
+
+
+class FakeQuantizer:
+    """ctx.quant hook applying int8 fake-quant with frozen qparams.
+
+    Weight qparams are computed on the fly from the current weights (so QAT
+    tracks the moving weights); activation qparams come from calibration.
+    """
+
+    def __init__(self, act_qp: dict[str, QParams]):
+        self.act_qp = act_qp
+
+    def act(self, ctx: Ctx, leaf: str, x):
+        qp = self.act_qp.get(ctx.path(leaf))
+        if qp is None:
+            raise KeyError(f"no activation qparams for {ctx.path(leaf)}")
+        return fake_quant(x, qp)
+
+    def weight(self, ctx: Ctx, leaf: str, w, channel_axis: int):
+        return fake_quant(w, weight_qparams(w, channel_axis))
+
+
+@dataclasses.dataclass
+class QuantizedModel:
+    """int8-simulated model: offline ``apply`` and streaming ``step``.
+
+    Holds the fp32 params + frozen activation qparams; the graph is the SAME
+    single definition (models/gtcrn_micro.py) -- offline, streaming and
+    quantized paths cannot diverge (unlike the reference's
+    PyTorch/ONNX/TFLite triplet, utils/output_tests.py).
+    """
+
+    model: Any
+    act_qp: dict[str, QParams]
+
+    def apply(self, params, spec):
+        ctx = Ctx()
+        ctx.quant = FakeQuantizer(self.act_qp)
+        return self.model._forward(params, spec, ctx)
+
+    def init_state(self, batch: int):
+        return self.model.init_state(batch)
+
+    def step(self, params, state, spec):
+        ctx = Ctx(state=state)
+        ctx.quant = FakeQuantizer(self.act_qp)
+        out = self.model._forward(params, spec, ctx)
+        return out, ctx.new_state
+
+
+def observe_ranges(model, params, calib_specs, batch_size: int = 8,
+                   percentile: float = 99.99):
+    """Run calibration specs through the model, returning merged per-path
+    activation ranges.  ``calib_specs``: (N, F, T, 2) array."""
+
+    @jax.jit
+    def one_batch(spec):
+        ctx = Ctx()
+        obs = RangeObserver(percentile)
+        ctx.quant = obs
+        model._forward(params, spec, ctx)
+        return obs.ranges
+
+    merged: dict[str, tuple[float, float]] = {}
+    for i in range(0, calib_specs.shape[0], batch_size):
+        ranges = jax.device_get(one_batch(calib_specs[i : i + batch_size]))
+        for path, (lo, hi) in ranges.items():
+            if path in merged:
+                mlo, mhi = merged[path]
+                merged[path] = (min(mlo, float(lo)), max(mhi, float(hi)))
+            else:
+                merged[path] = (float(lo), float(hi))
+    return merged
+
+
+def make_quantized_model(model, params, calib_specs, batch_size: int = 8,
+                         percentile: float = 99.99, act_bits: int = 8):
+    """One-shot PTQ: observe ranges, freeze qparams, return QuantizedModel.
+
+    ``act_bits=8`` -> full-int8 (TFLite default mode, the reference artifact's
+    format); ``act_bits=16`` -> 16x8 mode (int16 activations, int8 weights),
+    which preserves the high-dynamic-range TRA-gate/decoder activations.
+    """
+    ranges = observe_ranges(model, params, calib_specs, batch_size, percentile)
+    act_qp = {
+        path: act_qparams(jnp.float32(lo), jnp.float32(hi), act_bits)
+        for path, (lo, hi) in ranges.items()
+    }
+    return QuantizedModel(model=model, act_qp=act_qp)

@@ -1,0 +1,98 @@
+"""Quantization path tests: fake-quant properties, PTQ, path uniqueness,
+quantized streaming == quantized offline (the golden property extended to the
+int8 path -- reference utils/output_tests.py's tri-runtime parity, here one
+graph)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gtcrn_micro_tpu.models import GTCRNMicro
+from gtcrn_micro_tpu.quant import (
+    act_qparams,
+    fake_quant,
+    make_quantized_model,
+    observe_ranges,
+    weight_qparams,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = GTCRNMicro()
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    calib = jnp.asarray(
+        rng.standard_normal((4, 257, 16, 2)).astype(np.float32) * 0.3
+    )
+    return model, params, calib
+
+
+def test_fake_quant_properties():
+    qp = act_qparams(jnp.float32(-1.0), jnp.float32(3.0))
+    # zero is exactly representable (zero-padding stays exact)
+    assert float(fake_quant(jnp.float32(0.0), qp)) == 0.0
+    # values round to within half a scale
+    x = jnp.linspace(-1.0, 3.0, 1001)
+    err = jnp.abs(fake_quant(x, qp) - x)
+    assert float(err.max()) <= float(qp.scale) / 2 + 1e-7
+    # out-of-range values clip
+    assert float(fake_quant(jnp.float32(100.0), qp)) <= 3.01
+    # straight-through gradient is identity inside the range
+    g = jax.grad(lambda v: fake_quant(v, qp).sum())(x)
+    np.testing.assert_allclose(np.asarray(g), 1.0)
+
+
+def test_int16_mode_finer_than_int8():
+    lo, hi = jnp.float32(-2.0), jnp.float32(2.0)
+    x = jnp.linspace(-2, 2, 4001)
+    e8 = jnp.abs(fake_quant(x, act_qparams(lo, hi, 8)) - x).max()
+    e16 = jnp.abs(fake_quant(x, act_qparams(lo, hi, 16)) - x).max()
+    assert float(e16) < float(e8) / 100
+
+
+def test_weight_qparams_per_channel():
+    w = jnp.stack([jnp.ones((3, 3, 4)), 10 * jnp.ones((3, 3, 4))], axis=-1)
+    qp = weight_qparams(w, channel_axis=3)
+    assert qp.scale.shape == (1, 1, 1, 2)
+    # each channel keeps full resolution despite the 10x range difference
+    err = jnp.abs(fake_quant(w, qp) - w)
+    assert float(err.max()) < 0.05
+
+
+def test_observe_paths_unique(setup):
+    """Regression: GTConvBlock/TCN pointwise layers must have distinct quant
+    paths (a shared 'pw' name silently cross-applied qparams and cost 25 dB)."""
+    model, params, calib = setup
+    ranges = observe_ranges(model, params, calib, batch_size=4)
+    # 1 sfe + 2 enc convs + 3 enc GTConv x5 + 8 TCN x3 + 3 dec GTConv x5
+    # + 2 dec convs = 59 distinct activation paths
+    assert len(ranges) == 59, sorted(ranges)
+    assert "encoder/en2/pw1/in" in ranges
+    assert "encoder/en2/pw2/in" in ranges
+    assert "gtcn1/block0/pw1/in" in ranges
+    assert "gtcn1/block0/pw3/in" in ranges
+
+
+def test_quantized_offline_close_and_streaming_exact(setup):
+    model, params, calib = setup
+    qm = make_quantized_model(model, params, calib, batch_size=4,
+                              percentile=100.0, act_bits=16)
+    rng = np.random.default_rng(1)
+    spec = jnp.asarray(rng.standard_normal((1, 257, 8, 2)).astype(np.float32) * 0.3)
+
+    fp32 = model.apply(params, spec)
+    q = qm.apply(params, spec)
+    # int16 acts + int8 weights stay close to fp32 on in-distribution input
+    assert float(jnp.abs(q - fp32).max()) < 0.1
+
+    # quantized streaming == quantized offline (exact on CPU)
+    state = qm.init_state(1)
+    outs = []
+    for t in range(spec.shape[2]):
+        y, state = qm.step(params, state, spec[:, :, t : t + 1])
+        outs.append(y)
+    stream = jnp.concatenate(outs, axis=2)
+    assert float(jnp.abs(stream - q).max()) < 1e-5
