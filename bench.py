@@ -23,28 +23,52 @@ LATENCY_BUDGET_S = 0.010  # 10 ms per 16 ms frame (BASELINE.md)
 BASELINE_STREAMS = 4096  # north-star target, BASELINE.md / BASELINE.json
 
 
-def measure_step_latency(model, params, batch: int, *, iters: int = 30,
-                         warmup: int = 5) -> float:
-    """Steady-state seconds per streaming step at ``batch`` concurrent
-    streams (median over ``iters``)."""
-    state = model.init_state(batch)
-    spec = jnp.zeros((batch, model.config.n_freqs, 1, 2), jnp.float32)
-    step = model.step_jit
+def _sync(x) -> float:
+    """Force execution to complete by fetching one scalar to the host.
 
-    out, state = step(params, state, spec)
-    jax.block_until_ready(out)
-    for _ in range(warmup):
-        out, state = step(params, state, spec)
-    jax.block_until_ready(out)
+    On this TPU tunnel ``block_until_ready`` does NOT actually block (the
+    relay acks immediately -- measured 27,000 TFLOP/s "matmuls"); only a
+    value fetch round-trips through the device.  The fetch costs a fixed
+    ~27 ms RTT, so timing loops must amortize many steps per sync.
+    """
+    return float(jnp.ravel(x)[0])
 
+
+def measure_rtt(iters: int = 5) -> float:
+    x = jnp.zeros((8, 128), jnp.float32)
+    f = jax.jit(lambda x: x + 1.0)
+    _sync(f(x))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out, state = step(params, state, spec)
-        jax.block_until_ready(out)
+        _sync(f(x))
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]
+
+
+def measure_step_latency(model, params, batch: int, *, chain: int = 200,
+                         rtt: float = 0.0) -> float:
+    """Steady-state seconds per streaming step at ``batch`` concurrent
+    streams: N sequentially-dependent steps between two syncs, minus the
+    fixed sync RTT.  State is donated (in-place cache updates, as a real
+    server would run)."""
+    state = model.init_state(batch)
+    spec = jnp.zeros((batch, model.config.n_freqs, 1, 2), jnp.float32)
+    step = jax.jit(model.step, donate_argnums=(1,))
+
+    out, state = step(params, state, spec)  # compile
+    _sync(out)
+    for _ in range(5):
+        out, state = step(params, state, spec)
+    _sync(out)
+
+    t0 = time.perf_counter()
+    for _ in range(chain):
+        out, state = step(params, state, spec)
+    _sync(out)
+    elapsed = time.perf_counter() - t0 - rtt
+    return max(elapsed, 1e-9) / chain
 
 
 def main() -> None:
@@ -57,12 +81,16 @@ def main() -> None:
     model = GTCRNMicro()
     params = model.init(jax.random.PRNGKey(0))
 
+    rtt = measure_rtt()
+    print(f"# sync RTT: {rtt * 1e3:.1f} ms (amortized over 200-step chains)",
+          flush=True)
+
     # exponential sweep for the largest batch meeting the latency budget
     best, results = 0, {}
     batch = 256
     while batch <= 65536:
         try:
-            lat = measure_step_latency(model, params, batch)
+            lat = measure_step_latency(model, params, batch, rtt=rtt)
         except Exception:  # OOM or compile failure at this size
             break
         results[batch] = lat
