@@ -142,28 +142,44 @@ class GTCRNMicro:
 
     # -- streaming ---------------------------------------------------------
 
-    def init_state(self, batch: int, dtype=jnp.float32) -> dict:
+    def init_state(self, batch: int, dtype=jnp.float32, ring: bool = True) -> dict:
         """Zeroed streaming caches (flat dict path->array), batched over
-        ``batch`` concurrent streams."""
+        ``batch`` concurrent streams.
+
+        ``ring=True`` (default, serving fast path): caches are ring buffers
+        plus a global ``step`` counter; each step writes ONE frame per cache
+        instead of shifting the whole window -- O(1) state traffic.  Requires
+        T==1 steps.  ``ring=False``: shift-based caches (any chunk size; the
+        oracle path for tests).
+        """
         cfg = self.config
 
         def trace(params, spec):
-            ctx = Ctx(state={}, initializing=True)
+            ctx = Ctx(state={}, initializing=True, ring=ring)
             self._forward(params, spec, ctx)
             return ctx.new_state
 
         params_shape = jax.eval_shape(lambda: self.init(jax.random.PRNGKey(0)))
         spec_shape = jax.ShapeDtypeStruct((batch, cfg.n_freqs, 1, 2), dtype)
         shapes = jax.eval_shape(trace, params_shape, spec_shape)
-        return {k: jnp.zeros(v.shape, v.dtype) for k, v in shapes.items()}
+        state = {k: jnp.zeros(v.shape, v.dtype) for k, v in shapes.items()}
+        if ring:
+            # all ring lengths are powers of two <= 16, so a mod-16 counter
+            # indexes every ring consistently
+            state["step"] = jnp.zeros((), jnp.int32)
+        return state
 
     def step(self, params, state: dict, spec: jax.Array):
         """One streaming step over a chunk: spec (B, F, T_chunk, 2) ->
-        (enhanced (B, F, T_chunk, 2), new_state).  T_chunk may be any static
-        size (1 = frame-by-frame)."""
-        ctx = Ctx(state=state)
+        (enhanced (B, F, T_chunk, 2), new_state).  With ring state (default)
+        T_chunk must be 1; with shift state any static chunk size works."""
+        ring = "step" in state
+        ctx = Ctx(state=state, ring=ring, step=state.get("step"))
         out = self._forward(params, spec, ctx)
-        return out, ctx.new_state
+        new_state = ctx.new_state
+        if ring:
+            new_state["step"] = (state["step"] + 1) & 15
+        return out, new_state
 
     def scan_frames(self, params, state: dict, spec: jax.Array):
         """Stream a whole utterance via lax.scan over frames.

@@ -65,6 +65,8 @@ class Ctx:
         training: bool = False,
         state: dict | None = None,
         initializing: bool = False,
+        ring: bool = False,
+        step: Any = None,
     ):
         self.training = training
         self.state = state if state is not None or not initializing else {}
@@ -72,6 +74,12 @@ class Ctx:
         self.new_state: dict[str, Any] = {}
         self.stats: dict[str, Any] = {}
         self._path: list[str] = []
+        # Ring-buffer streaming (serving fast path, T==1 only): caches are
+        # rings indexed by a global step counter; each step WRITES one frame
+        # (dynamic_update_slice) instead of shifting the whole ring.  All
+        # ring lengths are powers of two <= 16, so ``step`` wraps mod 16.
+        self.ring = ring
+        self.step = step
         # Optional quantization hook (duck-typed, see quant/): an object with
         # ``act(ctx, leaf, x)`` and ``weight(ctx, leaf, w, channel_axis)``
         # called at every conv/matmul boundary.  None = fp32 path, zero cost.
@@ -256,10 +264,87 @@ class CausalConv2d:
     def state_shape(self, batch: int, freq: int) -> tuple[int, ...]:
         return (batch, self.time_context, freq, self.c_in)
 
+    def _freq_conv(self, w, xin, time_dilation=None):
+        """The conv core (no bias): xin (B,T,F,C) with any time window."""
+        if self.freq_up > 1:
+            # transposed conv along freq: lhs_dilation + transpose padding.
+            # XLA pads the *dilated* input of size (F-1)*up+1, so the torch
+            # ConvTranspose2d geometry is the symmetric pad below.
+            fp = self.dilation[1] * (self.kernel[1] - 1) - self.freq_pad
+            pad_f = (fp, fp)
+            lhs_dilation = (1, self.freq_up)
+            window_strides = (1, 1)
+        else:
+            pad_f = (self.freq_pad, self.freq_pad)
+            lhs_dilation = (1, 1)
+            window_strides = (1, self.freq_stride)
+
+        return jax.lax.conv_general_dilated(
+            xin,
+            w,
+            window_strides=window_strides,
+            padding=[(0, 0), pad_f],
+            lhs_dilation=lhs_dilation,
+            rhs_dilation=(
+                self.dilation if time_dilation is None
+                else (time_dilation, self.dilation[1])
+            ),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+            precision=PRECISION,
+        )
+
+    def _ring_call(self, ctx: Ctx, params, x):
+        """Ring-buffer streaming step (T==1): read kT-1 tap frames from the
+        ring, write ONE frame back -- O(1) state traffic per step vs the
+        concat path's full-ring shift (the reference's StreamConv2d pattern,
+        conversion/convolution.py:107-119, made cheap)."""
+        kT = self.kernel[0]
+        d = self.dilation[0]
+        L = self.time_context  # (kT-1)*d
+        assert x.shape[1] == 1, "ring mode is the T==1 serving path"
+
+        with ctx.scope(self.name):
+            if ctx.initializing:
+                ctx.put_state(
+                    "ring", jnp.zeros((x.shape[0], L) + x.shape[2:], x.dtype)
+                )
+                return jnp.zeros_like(x[:, :1])  # shape proxy, unused
+            ring = ctx.get_state("ring")
+            w = params["w"]
+            if ctx.quant is not None:
+                # the ring already holds quantized frames (fake-quant is
+                # idempotent and 0 is exactly representable), so only the
+                # incoming frame needs quantizing
+                x = ctx.quant.act(ctx, "in", x)
+                w = ctx.quant.weight(ctx, "w", w, 3)
+            t = ctx.step
+            # tap j (j < kT-1) applies w[j] to x_{t-(kT-1-j)d}, stored at
+            # ring slot (t + j*d) mod L; w[kT-1] applies to the current x.
+            out = self._freq_conv(w[kT - 1 : kT], x)
+            for j in range(kT - 1):
+                slot = jax.lax.rem(t + j * d, L)
+                tap = jax.lax.dynamic_slice_in_dim(ring, slot, 1, axis=1)
+                out = out + self._freq_conv(w[j : j + 1], tap)
+            # overwrite the oldest slot (t mod L) with the current frame
+            new_ring = jax.lax.dynamic_update_slice_in_dim(
+                ring, x, jax.lax.rem(t, L), axis=1
+            )
+            ctx.put_state("ring", new_ring)
+        if self.bias:
+            out = out + params["b"]
+        return out
+
     def __call__(self, ctx: Ctx, params, x):
         L = self.time_context
+        if L > 0 and ctx.streaming and ctx.ring:
+            if ctx.initializing:
+                self._ring_call(ctx, params, x)  # register state only
+                # fall through to the concat path for the shape trace
+            else:
+                return self._ring_call(ctx, params, x)
         if L > 0:
-            if ctx.streaming:
+            if ctx.streaming and not ctx.ring:
                 with ctx.scope(self.name):
                     if ctx.initializing:
                         cache = jnp.zeros(
@@ -285,30 +370,7 @@ class CausalConv2d:
                 xin = ctx.quant.act(ctx, "in", xin)
                 w = ctx.quant.weight(ctx, "w", w, 3)
 
-        if self.freq_up > 1:
-            # transposed conv along freq: lhs_dilation + transpose padding.
-            # XLA pads the *dilated* input of size (F-1)*up+1, so the torch
-            # ConvTranspose2d geometry is the symmetric pad below.
-            fp = self.dilation[1] * (self.kernel[1] - 1) - self.freq_pad
-            pad_f = (fp, fp)
-            lhs_dilation = (1, self.freq_up)
-            window_strides = (1, 1)
-        else:
-            pad_f = (self.freq_pad, self.freq_pad)
-            lhs_dilation = (1, 1)
-            window_strides = (1, self.freq_stride)
-
-        out = jax.lax.conv_general_dilated(
-            xin,
-            w,
-            window_strides=window_strides,
-            padding=[(0, 0), pad_f],
-            lhs_dilation=lhs_dilation,
-            rhs_dilation=self.dilation,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.groups,
-            precision=PRECISION,
-        )
+        out = self._freq_conv(w, xin)
         if self.bias:
             out = out + params["b"]
         return out
@@ -393,10 +455,40 @@ class TRALite:
     def state_shape(self, batch: int) -> tuple[int, ...]:
         return (batch, self.time_context, self.channels)
 
+    def _ring_call(self, ctx: Ctx, params, x, e):
+        """Ring-buffer step (T==1): O(1) energy-cache traffic."""
+        L = self.time_context
+        with ctx.scope(self.name):
+            ring = ctx.get_state("ring")  # (B, L, C)
+            depth_w, point_w = params["depth_w"], params["point_w"]
+            if ctx.quant is not None:
+                e = ctx.quant.act(ctx, "energy", e)
+                depth_w = ctx.quant.weight(ctx, "depth_w", depth_w, 1)
+            t = ctx.step
+            y = params["depth_b"] + e[:, 0] * depth_w[self.kernel - 1]
+            for j in range(self.kernel - 1):
+                slot = jax.lax.rem(t + j, L)
+                tap = jax.lax.dynamic_slice_in_dim(ring, slot, 1, axis=1)
+                y = y + tap[:, 0] * depth_w[j]
+            new_ring = jax.lax.dynamic_update_slice_in_dim(
+                ring, e, jax.lax.rem(t, L), axis=1
+            )
+            ctx.put_state("ring", new_ring)
+            y = y[:, None]  # (B, 1, C)
+            if ctx.quant is not None:
+                y = ctx.quant.act(ctx, "gate_in", y)
+                point_w = ctx.quant.weight(ctx, "point_w", point_w, 1)
+            g = jax.nn.sigmoid(
+                jnp.dot(y, point_w, precision=PRECISION) + params["point_b"]
+            )
+        return x * g[:, :, None, :]
+
     def __call__(self, ctx: Ctx, params, x):
         """x: (B, T, F, C) -> gated x, same shape."""
         e = jnp.mean(x * x, axis=2)  # (B, T, C)
         L = self.time_context
+        if L > 0 and ctx.streaming and ctx.ring and not ctx.initializing:
+            return self._ring_call(ctx, params, x, e)
         if L > 0:
             if ctx.streaming:
                 with ctx.scope(self.name):
@@ -404,12 +496,16 @@ class TRALite:
                         cache = jnp.zeros(
                             (e.shape[0], L, e.shape[2]), dtype=e.dtype
                         )
-                        ctx.put_state("cache", cache)
+                        ctx.put_state("ring" if ctx.ring else "cache", cache)
                     else:
                         cache = ctx.get_state("cache")
-                    e_cat = jnp.concatenate([cache, e], axis=1)
-                    if not ctx.initializing:
+                        e_cat = jnp.concatenate([cache, e], axis=1)
                         ctx.put_state("cache", e_cat[:, -L:])
+                if ctx.initializing:
+                    zeros = jnp.zeros(
+                        (e.shape[0], L, e.shape[2]), dtype=e.dtype
+                    )
+                    e_cat = jnp.concatenate([zeros, e], axis=1)
             else:
                 zeros = jnp.zeros((e.shape[0], L, e.shape[2]), dtype=e.dtype)
                 e_cat = jnp.concatenate([zeros, e], axis=1)

@@ -99,10 +99,14 @@ class QuantizedModel:
         return self.model.init_state(batch)
 
     def step(self, params, state, spec):
-        ctx = Ctx(state=state)
+        ring = "step" in state
+        ctx = Ctx(state=state, ring=ring, step=state.get("step"))
         ctx.quant = FakeQuantizer(self.act_qp)
         out = self.model._forward(params, spec, ctx)
-        return out, ctx.new_state
+        new_state = ctx.new_state
+        if ring:
+            new_state["step"] = (state["step"] + 1) & 15
+        return out, new_state
 
 
 def observe_ranges(model, params, calib_specs, batch_size: int = 8,

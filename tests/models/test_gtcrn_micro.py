@@ -74,7 +74,7 @@ def test_streaming_chunked_equals_offline(model, params):
     reference's frame-only streaming model doesn't have."""
     spec = jax.random.normal(jax.random.PRNGKey(3), (1, 257, 12, 2)) * 0.5
     offline = model.apply_jit(params, spec)
-    state = model.init_state(1)
+    state = model.init_state(1, ring=False)  # chunked steps need shift caches
     outs = []
     for t0 in range(0, 12, 3):
         y, state = model.step_jit(params, state, spec[:, :, t0 : t0 + 3, :])
@@ -85,7 +85,7 @@ def test_streaming_chunked_equals_offline(model, params):
 
 def test_state_shapes_match_reference_inventory(model):
     """Canonical per-stream state (SURVEY.md §2.2 / reference :617-623)."""
-    state = model.init_state(4)
+    state = model.init_state(4, ring=False)
     conv = [k for k in state if k.endswith("depth_conv/cache")]
     tra = [k for k in state if k.endswith("tra/cache")]
     tcn = [k for k in state if "/conv2/cache" in k]
@@ -146,3 +146,21 @@ def test_checkpoint_parity_vs_reference(n_samples):
 
     snr = 10 * np.log10(np.mean(ref**2) / np.mean((out - ref) ** 2))
     assert snr > 60.0, f"checkpoint parity SNR {snr:.1f} dB < 60 dB"
+
+
+def test_ring_streaming_equals_shift_streaming(model, params):
+    """Ring-buffer serving path (O(1) cache writes) == shift-cache oracle,
+    across a full ring wrap (16 frames)."""
+    spec = jax.random.normal(jax.random.PRNGKey(7), (2, 257, 20, 2)) * 0.5
+    s_ring = model.init_state(2, ring=True)
+    s_shift = model.init_state(2, ring=False)
+    assert "step" in s_ring and "step" not in s_shift
+    ring_out, shift_out = [], []
+    for t in range(20):
+        y1, s_ring = model.step_jit(params, s_ring, spec[:, :, t : t + 1])
+        y2, s_shift = model.step_jit(params, s_shift, spec[:, :, t : t + 1])
+        ring_out.append(np.asarray(y1))
+        shift_out.append(np.asarray(y2))
+    np.testing.assert_allclose(
+        np.concatenate(ring_out, 2), np.concatenate(shift_out, 2), atol=1e-5
+    )
