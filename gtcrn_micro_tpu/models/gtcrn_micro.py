@@ -160,6 +160,11 @@ class GTCRNMicro:
             return ctx.new_state
 
         params_shape = jax.eval_shape(lambda: self.init(jax.random.PRNGKey(0)))
+        # trace with params in the state dtype so cache dtypes follow it
+        # (bf16 serving: params/state/activations all bf16)
+        params_shape = jax.tree.map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, dtype), params_shape
+        )
         spec_shape = jax.ShapeDtypeStruct((batch, cfg.n_freqs, 1, 2), dtype)
         shapes = jax.eval_shape(trace, params_shape, spec_shape)
         state = {k: jnp.zeros(v.shape, v.dtype) for k, v in shapes.items()}
