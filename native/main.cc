@@ -1,0 +1,118 @@
+// Standalone streaming enhancement CLI (the reference's esp32_s3/main/main.cc
+// analog, but a full wav -> wav pipeline instead of a dummy-input Invoke):
+//
+//   gtcrn_stream <weights.bin> <noisy.wav> <enhanced.wav>
+//
+// Reads 16-bit PCM mono 16 kHz wav, enhances frame-by-frame through the
+// streaming engine, reports per-frame latency (the reference prints TFLM
+// invoke time, main.cc:150-160), writes the result.
+
+#include <chrono>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <vector>
+
+#include "gtcrn_micro.h"
+
+namespace {
+
+bool ReadWav16(const char* path, std::vector<float>* out, uint32_t* fs) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) return false;
+  char riff[12];
+  f.read(riff, 12);
+  if (std::memcmp(riff, "RIFF", 4) || std::memcmp(riff + 8, "WAVE", 4)) {
+    return false;
+  }
+  uint16_t n_ch = 1, bits = 16;
+  while (f) {
+    char cid[4];
+    uint32_t csize = 0;
+    f.read(cid, 4);
+    f.read(reinterpret_cast<char*>(&csize), 4);
+    if (!f) break;
+    if (!std::memcmp(cid, "fmt ", 4)) {
+      std::vector<char> fmt(csize);
+      f.read(fmt.data(), csize);
+      n_ch = *reinterpret_cast<uint16_t*>(fmt.data() + 2);
+      *fs = *reinterpret_cast<uint32_t*>(fmt.data() + 4);
+      bits = *reinterpret_cast<uint16_t*>(fmt.data() + 14);
+    } else if (!std::memcmp(cid, "data", 4)) {
+      if (bits != 16) return false;
+      std::vector<int16_t> raw(csize / 2);
+      f.read(reinterpret_cast<char*>(raw.data()), csize);
+      out->resize(raw.size() / n_ch);
+      for (size_t i = 0; i < out->size(); ++i) {
+        (*out)[i] = raw[i * n_ch] / 32768.f;
+      }
+      return true;
+    } else {
+      f.seekg(csize + (csize & 1), std::ios::cur);
+    }
+  }
+  return false;
+}
+
+bool WriteWav16(const char* path, const std::vector<float>& x, uint32_t fs) {
+  std::ofstream f(path, std::ios::binary);
+  if (!f) return false;
+  uint32_t data_size = static_cast<uint32_t>(x.size() * 2);
+  uint32_t riff_size = 36 + data_size;
+  uint16_t fmt16 = 1, ch = 1, bits = 16, block = 2;
+  uint32_t byte_rate = fs * 2, fmt_size = 16;
+  f.write("RIFF", 4);
+  f.write(reinterpret_cast<char*>(&riff_size), 4);
+  f.write("WAVEfmt ", 8);
+  f.write(reinterpret_cast<char*>(&fmt_size), 4);
+  f.write(reinterpret_cast<char*>(&fmt16), 2);
+  f.write(reinterpret_cast<char*>(&ch), 2);
+  f.write(reinterpret_cast<char*>(&fs), 4);
+  f.write(reinterpret_cast<char*>(&byte_rate), 4);
+  f.write(reinterpret_cast<char*>(&block), 2);
+  f.write(reinterpret_cast<char*>(&bits), 2);
+  f.write("data", 4);
+  f.write(reinterpret_cast<char*>(&data_size), 4);
+  for (float v : x) {
+    float c = v < -1.f ? -1.f : (v > 1.f ? 1.f : v);
+    int16_t s = static_cast<int16_t>(c * 32767.f);
+    f.write(reinterpret_cast<char*>(&s), 2);
+  }
+  return true;
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  if (argc != 4) {
+    std::fprintf(stderr, "usage: %s <weights.bin> <in.wav> <out.wav>\n",
+                 argv[0]);
+    return 1;
+  }
+  std::vector<float> samples;
+  uint32_t fs = 0;
+  if (!ReadWav16(argv[2], &samples, &fs) || fs != 16000) {
+    std::fprintf(stderr, "need 16-bit PCM 16 kHz wav\n");
+    return 1;
+  }
+
+  gtcrn::Engine engine{std::string(argv[1])};
+  auto t0 = std::chrono::steady_clock::now();
+  auto out = engine.EnhanceWav(samples);
+  auto us = std::chrono::duration_cast<std::chrono::microseconds>(
+                std::chrono::steady_clock::now() - t0)
+                .count();
+  int frames = static_cast<int>(samples.size()) / 256 + 1;
+  std::printf("enhanced %zu samples (%d frames) in %lld us: %.1f us/frame, "
+              "%.2fx real-time\n",
+              samples.size(), frames, static_cast<long long>(us),
+              static_cast<double>(us) / frames,
+              (samples.size() / 16000.0) / (us / 1e6));
+
+  if (!WriteWav16(argv[3], out, fs)) {
+    std::fprintf(stderr, "cannot write %s\n", argv[3]);
+    return 1;
+  }
+  return 0;
+}
