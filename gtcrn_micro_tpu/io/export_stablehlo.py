@@ -1,0 +1,100 @@
+"""Portable graph export via jax.export (StableHLO).
+
+The reference serializes its graph through torch.onnx (opset 16, static
+shapes; streaming/conversion/stream_onnx.py:15-129) and onward to TFLite.
+The TPU-native equivalent is StableHLO through ``jax.export``: a
+self-contained, versioned artifact XLA can reload and compile on any
+backend -- plus the native-runtime weights binary (io/export_native.py) for
+the C++ deployment path.
+
+Exports:
+- offline:   enhanced = f(params, spec (B, 257, T, 2))
+- streaming: (enhanced, state') = f(params, state, spec (B, 257, 1, 2))
+
+CLI: ``python -m gtcrn_micro_tpu.io.export_stablehlo --checkpoint <ckpt>
+--out_dir <dir> [--batch 1 --frames 63]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+from gtcrn_micro_tpu.models.gtcrn_micro import GTCRNMicro
+
+
+def export_offline(model: GTCRNMicro, params, batch: int, frames: int) -> bytes:
+    """Serialized StableHLO for the offline forward (static shapes, like the
+    reference's onnx export)."""
+    from jax import export as jexport
+
+    fn = lambda p, s: model.apply(p, s)  # noqa: E731
+    spec = jax.ShapeDtypeStruct(
+        (batch, model.config.n_freqs, frames, 2), jnp.float32
+    )
+    params_shape = jax.tree.map(
+        lambda v: jax.ShapeDtypeStruct(v.shape, v.dtype), params
+    )
+    exported = jexport.export(jax.jit(fn))(params_shape, spec)
+    return exported.serialize()
+
+
+def export_streaming(model: GTCRNMicro, params, batch: int) -> bytes:
+    """Serialized StableHLO for one streaming step (ring state threaded)."""
+    from jax import export as jexport
+
+    state = model.init_state(batch)
+    spec = jax.ShapeDtypeStruct(
+        (batch, model.config.n_freqs, 1, 2), jnp.float32
+    )
+    params_shape = jax.tree.map(
+        lambda v: jax.ShapeDtypeStruct(v.shape, v.dtype), params
+    )
+    state_shape = jax.tree.map(
+        lambda v: jax.ShapeDtypeStruct(v.shape, v.dtype), state
+    )
+    exported = jexport.export(jax.jit(model.step))(
+        params_shape, state_shape, spec
+    )
+    return exported.serialize()
+
+
+def load_exported(path: str):
+    """Deserialize an exported artifact; ``.call(*args)`` runs it."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        return jexport.deserialize(bytearray(f.read()))
+
+
+def main(args=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--out_dir", default="export")
+    parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--frames", type=int, default=63)
+    ns = parser.parse_args(args)
+
+    from gtcrn_micro_tpu.eval.infer import load_params
+    from gtcrn_micro_tpu.io.export_native import export_native_weights
+
+    model = GTCRNMicro()
+    params = load_params(ns.checkpoint)
+    os.makedirs(ns.out_dir, exist_ok=True)
+
+    off = export_offline(model, params, ns.batch, ns.frames)
+    with open(os.path.join(ns.out_dir, "gtcrn_micro_offline.stablehlo"), "wb") as f:
+        f.write(off)
+    stream = export_streaming(model, params, ns.batch)
+    with open(os.path.join(ns.out_dir, "gtcrn_micro_stream.stablehlo"), "wb") as f:
+        f.write(stream)
+    n = export_native_weights(params, os.path.join(ns.out_dir, "gtcrn_micro_weights.bin"))
+    print(f"exported offline ({len(off)} B), streaming ({len(stream)} B), "
+          f"native weights ({n} tensors) to {ns.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

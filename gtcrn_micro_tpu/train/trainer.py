@@ -130,9 +130,14 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     loss_cfg: HybridLossConfig = HybridLossConfig(),
     trainer_cfg: TrainerConfig = TrainerConfig(),
+    quantizer=None,
 ) -> Callable:
     """Returns jit-able ``step(params, opt_state, noisy, clean) ->
-    (params, opt_state, loss)`` with noisy/clean (B, samples)."""
+    (params, opt_state, loss)`` with noisy/clean (B, samples).
+
+    ``quantizer``: optional ctx.quant hook (e.g. ``quant.FakeQuantizer``)
+    for quantization-aware training -- fake-quant is a straight-through
+    estimator, so the same jitted step trains through the int8 grid."""
     window = hann_window(trainer_cfg.win_len)
 
     def compute_loss(params, noisy, clean):
@@ -143,6 +148,7 @@ def make_train_step(
             clean, window, trainer_cfg.n_fft, trainer_cfg.hop_len, trainer_cfg.win_len
         )
         ctx = Ctx(training=True)
+        ctx.quant = quantizer
         enhanced = model._forward(params, noisy_spec, ctx)
         return hybrid_loss(enhanced, clean_spec, loss_cfg), ctx.stats
 
