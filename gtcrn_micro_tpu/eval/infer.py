@@ -119,6 +119,12 @@ def main(args=None) -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("-C", "--config", default="configs/cfg_infer.yaml")
     parser.add_argument("--batch-size", type=int, default=8)
+    # int8 simulated inference (the reference's tflite_infer.py analog):
+    # calibrate activation ranges on --calib_dir, then run the fake-quant
+    # model end-to-end
+    parser.add_argument("--quant", action="store_true")
+    parser.add_argument("--calib_dir", default=None)
+    parser.add_argument("--act_bits", type=int, default=8, choices=(8, 16))
     ns = parser.parse_args(args)
     cfg = load_config(ns.config)
 
@@ -130,6 +136,15 @@ def main(args=None) -> None:
     model = get_model(cfg.get("network_name", "gtcrn_micro"),
                       **cfg.get("network_config", {}))
     params = load_params(cfg["network"]["checkpoint"])
+    if ns.quant:
+        from gtcrn_micro_tpu.quant.calibration import calibration_specs
+        from gtcrn_micro_tpu.quant.ptq import make_quantized_model
+
+        calib_dir = ns.calib_dir or noisy_dir
+        calib = calibration_specs(calib_dir, n_wavs=32)
+        model = make_quantized_model(model, params, calib,
+                                     act_bits=ns.act_bits)
+        print(f"int{ns.act_bits} PTQ model calibrated on {calib_dir}")
 
     wavs = sorted(
         os.path.join(noisy_dir, f)
