@@ -45,3 +45,47 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params/opt state) across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def make_sharded_serving_step(model, mesh: Mesh, axis: str = "data"):
+    """jit'd streaming step with the stream batch sharded over the mesh.
+
+    Serving-side scaling (SURVEY.md §2.9: the TPU-native axis is batching
+    independent streams): params replicated, every state ring and the
+    spec/output sharded along the batch (first) dim; XLA compiles with NO
+    collectives in the steady state -- streams are independent, so multi-chip
+    serving is embarrassingly parallel over ICI-attached chips.
+
+    Returns (step_fn, place_state, place_spec).
+    """
+    s_batch = NamedSharding(mesh, P(axis))
+    s_rep = NamedSharding(mesh, P())
+
+    def state_sharding(state):
+        return {
+            k: (s_rep if k == "step" else s_batch) for k in state
+        }
+
+    def place_state(state):
+        return {
+            k: jax.device_put(v, s_rep if k == "step" else s_batch)
+            for k, v in state.items()
+        }
+
+    def place_spec(spec):
+        return jax.device_put(spec, s_batch)
+
+    def step(params, state, spec):
+        return model.step(params, state, spec)
+
+    # shardings resolved lazily at first call (state keys are data-dependent)
+    def jitted(params, state, spec):
+        fn = jax.jit(
+            step,
+            in_shardings=(s_rep, state_sharding(state), s_batch),
+            out_shardings=(s_batch, state_sharding(state)),
+            donate_argnums=(1,),
+        )
+        return fn(params, state, spec)
+
+    return jitted, place_state, place_spec

@@ -107,3 +107,37 @@ def test_apply_bn_stats_unknown_path_raises():
     params = model.init(jax.random.PRNGKey(0))
     with pytest.raises(KeyError):
         apply_bn_stats(params, {"nonexistent/bn/batch_mean": jnp.zeros(16)})
+
+
+def test_sharded_serving_step_matches_single_device():
+    """Multi-chip serving: streams sharded over the 8-device mesh must equal
+    the single-device streaming step (no cross-stream interaction)."""
+    from gtcrn_micro_tpu.parallel.mesh import make_sharded_serving_step
+
+    model = GTCRNMicro()
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    B, T = 16, 4
+    spec = jnp.asarray(rng.standard_normal((B, 257, T, 2)).astype(np.float32))
+
+    # single device
+    state = model.init_state(B)
+    ref = []
+    for t in range(T):
+        y, state = model.step_jit(params, state, spec[:, :, t : t + 1])
+        ref.append(np.asarray(y))
+
+    # 8-device sharded serving
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    step, place_state, place_spec = make_sharded_serving_step(model, mesh)
+    params_r = replicate(mesh, params)
+    state = place_state(model.init_state(B))
+    out = []
+    for t in range(T):
+        y, state = step(params_r, state, place_spec(spec[:, :, t : t + 1]))
+        out.append(np.asarray(y))
+
+    np.testing.assert_allclose(
+        np.concatenate(out, 2), np.concatenate(ref, 2), atol=1e-5
+    )
