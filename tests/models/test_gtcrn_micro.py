@@ -164,3 +164,14 @@ def test_ring_streaming_equals_shift_streaming(model, params):
     np.testing.assert_allclose(
         np.concatenate(ring_out, 2), np.concatenate(shift_out, 2), atol=1e-5
     )
+
+
+def test_bn_folding_equivalence(model, params):
+    """fold_bn_params must be numerically equivalent (serving transform)."""
+    from gtcrn_micro_tpu.models.folding import fold_bn_params
+
+    folded = fold_bn_params(params)
+    spec = jax.random.normal(jax.random.PRNGKey(9), (1, 257, 6, 2)) * 0.5
+    ref = model.apply(params, spec)
+    out = model.apply(folded, spec)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
