@@ -10,9 +10,10 @@ iSTFT -> length-match to clean -> write ``<uid>_enh.wav``; emits the same
 TPU-native design: wavs are padded to power-of-two FRAME BUCKETS so XLA
 compiles a handful of static shapes instead of one program per wav length
 (SURVEY.md §7 hard part 5); within a bucket wavs are batched for MXU
-utilisation.  Enhancement output is identical to per-wav processing because
-STFT frames of zero padding produce zero-energy frames that are cropped
-before the iSTFT length match.
+utilisation.  Each wav's tail is reflect-padded (matching torch.stft
+center=True semantics) before the bucket zero-pad, so enhancement matches
+per-wav processing exactly except for the overlap-add contributions of the
+padding frames to the final ~2 hops, which are within the window tail.
 """
 
 from __future__ import annotations
@@ -26,18 +27,11 @@ import numpy as np
 
 from gtcrn_micro_tpu.dsp.stft import istft, sqrt_hann_window, stft
 from gtcrn_micro_tpu.io.torch_ckpt import import_reference_checkpoint
-from gtcrn_micro_tpu.io.wav import read_wav, resample, write_wav
+from gtcrn_micro_tpu.io.wav import extract_fileid, read_wav, resample, write_wav
 from gtcrn_micro_tpu.models.registry import get_model
 from gtcrn_micro_tpu.utils.config import load_config
 
 FS = 16000
-
-
-def _extract_fileid(path: str) -> str | None:
-    base = os.path.basename(path)
-    if "fileid_" not in base:
-        return None
-    return base.split("fileid_")[-1].split(".")[0]
 
 
 def load_params(checkpoint: str) -> dict:
@@ -100,7 +94,12 @@ def enhance_wavs(
             batch = np.zeros((len(chunk), samples), np.float32)
             for k, i in enumerate(chunk):
                 x = loaded[i][1]
-                batch[k, : min(len(x), samples)] = x[:samples]
+                n = min(len(x), samples)
+                batch[k, :n] = x[:n]
+                # reflect-pad the true tail (torch.stft center semantics)
+                r = min(256, samples - n, n - 1)
+                if r > 0:
+                    batch[k, n : n + r] = x[n - 2 : n - 2 - r : -1]
             spec = stft(jnp.asarray(batch), window)
             enh_spec = run(spec)
             wavs = np.asarray(istft(enh_spec, window, length=samples))
@@ -159,7 +158,7 @@ def main(args=None) -> None:
         enh = enhanced[noisy_path]
 
         if clean_dir is not None:
-            fileid = _extract_fileid(noisy_path)
+            fileid = extract_fileid(noisy_path)
             if fileid is None:
                 raise RuntimeError(f"Unable to extract fileid: {noisy_path}")
             ref_path = os.path.join(clean_dir, f"clean_fileid_{fileid}.wav")

@@ -29,7 +29,7 @@ from gtcrn_micro_tpu.eval.metrics import (
 )
 from gtcrn_micro_tpu.io.wav import read_wav, resample
 
-METRICS = ["SDR", "SI_SNR", "PESQ", "STOI"]
+METRICS = ["SDR", "SISNR", "PESQ", "STOI"]  # reference names (:93)
 
 
 def read_scp(path: str) -> dict[str, str]:
@@ -58,7 +58,7 @@ def process_one_pair(item: tuple[str, str, str], fs: int = 16000):
     pesq = pesq_metric(ref, inf, fs)
     return uid, {
         "SDR": sdr_metric(ref, inf),
-        "SI_SNR": sisnr_metric(ref, inf),
+        "SISNR": sisnr_metric(ref, inf),
         "PESQ": float("nan") if pesq is None else pesq,
         "STOI": stoi_metric(ref, inf, fs),
     }
@@ -85,17 +85,20 @@ def main(args=None) -> None:
         ret = list(pool.map(process_one_pair, pairs))
 
     os.makedirs(ns.output_dir, exist_ok=True)
-    suffix = f".{ns.job}" if ns.nsplits > 1 else ""
+    # shard naming matches the dnsmos scorer / reference convention
+    # (eval_nonintrusive_dnsmos.py:67): <METRIC><.job>.scp
+    suffix = "" if ns.nsplits == 1 else f".{ns.job}"
     for metric in METRICS:
-        with open(os.path.join(ns.output_dir, f"{metric}.scp{suffix}"), "w") as f:
+        with open(os.path.join(ns.output_dir, f"{metric}{suffix}.scp"), "w") as f:
             f.writelines(f"{uid} {score[metric]}\n" for uid, score in ret)
 
-    with open(os.path.join(ns.output_dir, f"RESULTS.txt{suffix}"), "w") as f:
-        for metric in METRICS:
-            mean = np.nanmean([score[metric] for _, score in ret])
-            f.write(f"{metric}: {mean:.4f}\n")
-    print(f"Overall results have been written in "
-          f"{os.path.join(ns.output_dir, 'RESULTS.txt' + suffix)}", flush=True)
+    if ns.nsplits == 1:  # the reference only writes RESULTS for a full run
+        with open(os.path.join(ns.output_dir, "RESULTS.txt"), "w") as f:
+            for metric in METRICS:
+                mean = np.nanmean([score[metric] for _, score in ret])
+                f.write(f"{metric}: {mean:.4f}\n")
+        print(f"Overall results have been written in "
+              f"{os.path.join(ns.output_dir, 'RESULTS.txt')}", flush=True)
 
 
 if __name__ == "__main__":

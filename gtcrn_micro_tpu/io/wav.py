@@ -8,6 +8,7 @@ Includes partial reads (``start``/``stop``) like the reference dataloader uses
 
 from __future__ import annotations
 
+import os
 import struct
 import wave as _wave
 
@@ -127,3 +128,12 @@ def find_wavs(root: str) -> list[str]:
             if fn.lower().endswith(".wav"):
                 out.append(os.path.join(dirpath, fn))
     return sorted(out)
+
+
+def extract_fileid(path: str) -> str | None:
+    """DNS3 pairing token from a noisy filename (reference
+    dataloader.py:39-44 / infer.py:17-22) -- the single shared definition."""
+    base = os.path.basename(path)
+    if "fileid_" not in base:
+        return None
+    return base.split("fileid_")[-1].split(".")[0]

@@ -78,14 +78,19 @@ def make_sharded_serving_step(model, mesh: Mesh, axis: str = "data"):
     def step(params, state, spec):
         return model.step(params, state, spec)
 
-    # shardings resolved lazily at first call (state keys are data-dependent)
+    # shardings resolved lazily at the first call (state keys are
+    # data-dependent), then the PjitFunction is cached -- re-wrapping per
+    # step would pay jit dispatch setup in the serving hot loop
+    cache: dict = {}
+
     def jitted(params, state, spec):
-        fn = jax.jit(
-            step,
-            in_shardings=(s_rep, state_sharding(state), s_batch),
-            out_shardings=(s_batch, state_sharding(state)),
-            donate_argnums=(1,),
-        )
-        return fn(params, state, spec)
+        if "fn" not in cache:
+            cache["fn"] = jax.jit(
+                step,
+                in_shardings=(s_rep, state_sharding(state), s_batch),
+                out_shardings=(s_batch, state_sharding(state)),
+                donate_argnums=(1,),
+            )
+        return cache["fn"](params, state, spec)
 
     return jitted, place_state, place_spec

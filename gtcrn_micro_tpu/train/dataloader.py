@@ -28,14 +28,7 @@ from typing import Iterator
 
 import numpy as np
 
-from gtcrn_micro_tpu.io.wav import find_wavs, read_wav
-
-
-def _extract_fileid(path: str) -> str | None:
-    base = os.path.basename(path)
-    if "fileid_" not in base:
-        return None
-    return base.split("fileid_")[-1].split(".")[0]
+from gtcrn_micro_tpu.io.wav import extract_fileid, find_wavs, read_wav
 
 
 def build_clean_index(clean_root: str, pairing: str = "fileid") -> dict[str, str]:
@@ -43,7 +36,7 @@ def build_clean_index(clean_root: str, pairing: str = "fileid") -> dict[str, str
     index: dict[str, str] = {}
     for path in find_wavs(clean_root):
         if pairing == "fileid":
-            fid = _extract_fileid(path)
+            fid = extract_fileid(path)
             if fid is not None:
                 index[fid] = path
         else:  # basename (VCTK-DEMAND)
@@ -72,7 +65,7 @@ class PairedWavDataset:
         paired = []
         for p in find_wavs(self.noisy_root):
             key = (
-                _extract_fileid(p)
+                extract_fileid(p)
                 if self.pairing == "fileid"
                 else os.path.basename(p)
             )

@@ -40,13 +40,19 @@ from gtcrn_micro_tpu.train.trainer import (
     make_optimizer,
     make_train_step,
 )
-from gtcrn_micro_tpu.utils.checkpoint import CheckpointManager
+from gtcrn_micro_tpu.utils.checkpoint import BestTracker, CheckpointManager
 from gtcrn_micro_tpu.utils.config import load_config
 from gtcrn_micro_tpu.utils.logging import MetricWriter
 
 
+import functools
+
+
+@functools.cache
 def _pesq_scorer():
-    """Wideband PESQ when available, else None (gated optional dep)."""
+    """Wideband PESQ when available, else None (gated optional dep;
+    resolved ONCE -- a per-utterance import retry costs a sys.path scan
+    for every validation clip)."""
     try:
         from pesq import pesq  # type: ignore
 
@@ -56,7 +62,9 @@ def _pesq_scorer():
 
 
 def quality_score(clean: np.ndarray, enhanced: np.ndarray, fs: int) -> float:
-    """Per-utterance validation score: PESQ (wb) or SI-SNR fallback."""
+    """Per-utterance validation score: PESQ (wb) or SI-SNR fallback.
+    Returns NaN on scorer failure (e.g. PESQ NoUtterancesError on silence);
+    callers must aggregate nan-aware."""
     scorer = _pesq_scorer()
     if scorer is not None:
         try:
@@ -70,9 +78,11 @@ def run(config, *, distributed: bool = False, max_steps: int | None = None):
     if distributed:
         jax.distributed.initialize()
 
-    trainer_cfg = TrainerConfig(**config.get("trainer_overrides", {}),
-                                **{k: v for k, v in config.get("trainer", {}).items()
-                                   if k in TrainerConfig.__dataclass_fields__})
+    trainer_kw = {**config.get("trainer", {}), **config.get("trainer_overrides", {})}
+    trainer_cfg = TrainerConfig(**{
+        k: v for k, v in trainer_kw.items()
+        if k in TrainerConfig.__dataclass_fields__
+    })
     sched_cfg = WarmupCosineConfig(
         **{k: float(v) if "lr" in k else int(v)
            for k, v in config.get("scheduler", {}).get("kwargs", {}).items()}
@@ -85,6 +95,24 @@ def run(config, *, distributed: bool = False, max_steps: int | None = None):
     exp_path = trainer_cfg.exp_path
     if not trainer_cfg.resume:
         exp_path = exp_path + "_" + datetime.now().strftime("%Y-%m-%d-%Hh%Mm")
+    elif not os.path.isdir(os.path.join(exp_path, "checkpoints")):
+        # resume convenience: exp_path may be the undated prefix -- pick the
+        # most recent dated run that actually has checkpoints (a silent
+        # fresh restart while the user believes they resumed is the failure
+        # mode to avoid)
+        import glob as _glob
+
+        candidates = sorted(
+            d for d in _glob.glob(exp_path + "_*")
+            if os.path.isdir(os.path.join(d, "checkpoints"))
+        )
+        if candidates:
+            exp_path = candidates[-1]
+        else:
+            raise FileNotFoundError(
+                f"resume=true but no checkpoints under {exp_path} or any "
+                f"{exp_path}_* run"
+            )
     os.makedirs(exp_path, exist_ok=True)
     writer = MetricWriter(os.path.join(exp_path, "logs"))
     ckpt = CheckpointManager(os.path.join(exp_path, "checkpoints"))
@@ -133,7 +161,7 @@ def run(config, *, distributed: bool = False, max_steps: int | None = None):
         print(f"resumed from step {step} (epoch {start_epoch - 1})")
 
     window = hann_window(trainer_cfg.win_len)
-    best_score = -np.inf
+    best = BestTracker(os.path.join(exp_path, "checkpoints"))
     fs = trainer_cfg.samplerate
 
     for epoch in range(start_epoch, trainer_cfg.epochs + start_epoch):
@@ -164,8 +192,10 @@ def run(config, *, distributed: bool = False, max_steps: int | None = None):
             wav = np.asarray(istft(enhanced_spec, window,
                                    length=clean.shape[1]))
             for b in range(wav.shape[0]):
-                val_score += quality_score(clean[b], wav[b], fs)
-                n_utts += 1
+                s = quality_score(clean[b], wav[b], fs)
+                if np.isfinite(s):  # nan-aware: one failed PESQ must not
+                    val_score += s  # poison the epoch / best tracking
+                    n_utts += 1
             if vi == 0 and (epoch == 1 or epoch % 10 == 0):
                 sample_dir = os.path.join(exp_path, "val_samples")
                 os.makedirs(sample_dir, exist_ok=True)
@@ -179,24 +209,22 @@ def run(config, *, distributed: bool = False, max_steps: int | None = None):
         print(f"epoch {epoch}: val_loss={val_loss:.3f} score={score:.4f}")
 
         # --- checkpoint ---
+        # best-by-score is evaluated EVERY epoch (reference train.py:217-221),
+        # periodic full checkpoints on the configured interval
+        state = {"params": jax.tree.map(np.asarray, params),
+                 "opt_state": jax.tree.map(np.asarray, opt_state),
+                 "epoch": epoch, "step": step}
         if epoch % trainer_cfg.save_checkpoint_interval == 0:
-            state = {"params": jax.tree.map(np.asarray, params),
-                     "opt_state": jax.tree.map(np.asarray, opt_state),
-                     "epoch": epoch, "step": step}
             ckpt.save(step, state)
-            if score > best_score:
-                best_score = score
-                best = CheckpointManager(
-                    os.path.join(exp_path, "checkpoints", "best"), max_to_keep=1)
-                best.save(step, state, force=True)
-                best.close()
+        best.update(step, score, ckpt, state)
 
         if max_steps is not None and step >= max_steps:
             break
 
     writer.close()
     ckpt.close()
-    print(f"Training done. exp_path={exp_path} best_score={best_score:.4f}")
+    print(f"Training done. exp_path={exp_path} "
+          f"best_score={best.best_score:.4f}")
     return exp_path
 
 
