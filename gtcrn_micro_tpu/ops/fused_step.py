@@ -322,12 +322,15 @@ def _tcn(x, W, taps, dtype):
 # ---------------------------------------------------------------------------
 
 
-def _forward_values(W, spec, taps, dtype):
+def _forward_values(W, spec, taps, dtype, frames=None):
     """The whole forward on VALUES: spec (2,257,B) + taps -> (out, frames).
-    Shared by the Pallas kernel and the layout-optimized plain-XLA path."""
+    Shared by the Pallas kernels and the layout-optimized plain-XLA path.
+    ``taps`` may be any mapping (v2 passes a lazy DMA fetcher); ``frames``
+    may be a sink object with __setitem__ (v2 DMA-writes immediately)."""
     re, im = spec[0], spec[1]
     mag = jnp.sqrt(re * re + im * im + 1e-12)
-    frames: dict = {}
+    if frames is None:
+        frames = {}
 
     # ERB band merge per feature channel (reference :63-67,512-517)
     feats = []

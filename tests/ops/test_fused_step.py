@@ -59,3 +59,15 @@ def test_pack_weights_count_and_dtypes(setup):
 
     assert len(W) == N_WEIGHTS
     assert all(w.dtype == jnp.bfloat16 for w in W)
+
+
+def test_grid_fused_kernel_matches_xla_ring(setup):
+    """v2 (grid + tap DMA) oracle, interpret mode."""
+    from gtcrn_micro_tpu.ops.fused_grid import GridFusedGTCRNMicro
+
+    model, params, spec = setup
+    fused = GridFusedGTCRNMicro(params, tile=8, interpret=True)
+    ref = _stream(model.step, params, model.init_state(16, ring=True),
+                  spec[:, :, :6])
+    out = _stream(fused.step, None, fused.init_state(16), spec[:, :, :6])
+    np.testing.assert_allclose(out, ref, atol=2e-6)
