@@ -152,4 +152,13 @@ def istft(
 
     pad = n_fft // 2
     out_len = hop_len * (T - 1) if length is None else length
-    return jax.lax.slice_in_dim(y, pad, pad + out_len, axis=-1)
+    # torch semantics (verified empirically -- its own "padded with zeros"
+    # warning is misleading): an explicit length exposes the normalised OLA
+    # tail up to ola_len - pad, and only zero-fills beyond the OLA buffer
+    avail = ola_len - pad
+    take = min(out_len, avail)
+    y = jax.lax.slice_in_dim(y, pad, pad + take, axis=-1)
+    if out_len > take:
+        cfg = [(0, 0)] * (y.ndim - 1) + [(0, out_len - take)]
+        y = jnp.pad(y, cfg)
+    return y

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import dataclasses
 import struct
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -245,11 +244,25 @@ def _op_conv(node, x, w, b=None):
     strides = tuple(a.get("strides", [1] * (w.ndim - 2)))
     dilations = tuple(a.get("dilations", [1] * (w.ndim - 2)))
     pads = a.get("pads")
+    auto = a.get("auto_pad", b"NOTSET")
     if pads:
         half = len(pads) // 2
         padding = tuple(zip(pads[:half], pads[half:]))
-    elif a.get("auto_pad", b"NOTSET") in (b"SAME_UPPER", b"SAME_LOWER"):
-        padding = "SAME"
+    elif auto in (b"SAME_UPPER", b"SAME_LOWER"):
+        # explicit per-dim pads: ONNX puts the odd pad element at the END
+        # for SAME_UPPER and at the BEGINNING for SAME_LOWER (XLA's "SAME"
+        # only covers the former)
+        padding = []
+        for i in range(w.ndim - 2):
+            in_sz = x.shape[2 + i]
+            k_eff = (w.shape[2 + i] - 1) * dilations[i] + 1
+            out_sz = -(-in_sz // strides[i])
+            total = max((out_sz - 1) * strides[i] + k_eff - in_sz, 0)
+            small, big = total // 2, total - total // 2
+            padding.append(
+                (small, big) if auto == b"SAME_UPPER" else (big, small)
+            )
+        padding = tuple(padding)
     else:
         padding = tuple((0, 0) for _ in range(w.ndim - 2))
     out = jax.lax.conv_general_dilated(
@@ -313,6 +326,22 @@ def _op_unsqueeze(node, x, axes=None):
     return x
 
 
+def _op_avgpool(n, x):
+    k = tuple(n.attrs["kernel_shape"])
+    strides = tuple(n.attrs.get("strides", k))
+    pads = n.attrs.get("pads", [0] * (2 * len(k)))
+    if any(pads) and not n.attrs.get("count_include_pad", 0):
+        raise NotImplementedError(
+            "AveragePool with pads and count_include_pad=0"
+        )
+    half = len(pads) // 2
+    padding = ((0, 0), (0, 0)) + tuple(zip(pads[:half], pads[half:]))
+    summed = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 1) + k, (1, 1) + strides, padding
+    )
+    return summed / float(np.prod(k))
+
+
 _OPS = {
     "Add": lambda n, a, b: a + b,
     "Sub": lambda n, a, b: a - b,
@@ -342,12 +371,7 @@ _OPS = {
     ),
     "Conv": _op_conv,
     "MaxPool": _op_maxpool,
-    "AveragePool": lambda n, x: jax.lax.reduce_window(
-        x, 0.0, jax.lax.add,
-        (1, 1) + tuple(n.attrs["kernel_shape"]),
-        (1, 1) + tuple(n.attrs.get("strides", n.attrs["kernel_shape"])),
-        "VALID",
-    ) / float(np.prod(n.attrs["kernel_shape"])),
+    "AveragePool": _op_avgpool,
     "GlobalAveragePool": lambda n, x: jnp.mean(
         x, axis=tuple(range(2, x.ndim)), keepdims=True
     ),
@@ -357,8 +381,11 @@ _OPS = {
     ),
     "Concat": lambda n, *xs: jnp.concatenate(xs, axis=n.attrs["axis"]),
     "Squeeze": lambda n, x, axes=None: jnp.squeeze(
-        x, tuple(int(a) for a in np.atleast_1d(np.asarray(
-            axes if axes is not None else n.attrs.get("axes")))),
+        x,
+        None
+        if (axes is None and n.attrs.get("axes") is None)
+        else tuple(int(a) for a in np.atleast_1d(np.asarray(
+            axes if axes is not None else n.attrs["axes"]))),
     ),
     "Unsqueeze": _op_unsqueeze,
     "Slice": _op_slice,
@@ -393,7 +420,7 @@ class OnnxModel:
         }
         self.input_names = self.graph.inputs
         self.output_names = self.graph.outputs
-        self._jit = partial(jax.jit(self._run_traced))
+        self._jit = jax.jit(self._run_traced)
 
     def _run(self, env: dict) -> list:
         for node in self.graph.nodes:

@@ -67,6 +67,14 @@ def read_wav(
 
         f.seek(data_off + start_f * block_align)
         raw = f.read(count * block_align)
+        if len(raw) < count * block_align:
+            # header claims more than the file holds (truncated download):
+            # surface it instead of silently returning short audio
+            # (reference surfaces LibsndfileError, dataloader.py:163-168)
+            raise ValueError(
+                f"truncated wav: {path} header promises {count} frames from "
+                f"offset {start_f}, file holds {len(raw) // block_align}"
+            )
 
     if audio_fmt == 1 and bits == 16:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
@@ -120,7 +128,6 @@ def resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
 
 def find_wavs(root: str) -> list[str]:
     """Recursively find .wav files, sorted (librosa.util.find_files analogue)."""
-    import os
 
     out = []
     for dirpath, _dirnames, filenames in os.walk(root):

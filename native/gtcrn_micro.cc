@@ -264,6 +264,14 @@ Weights Weights::Load(const std::string& path) {
   f.read(reinterpret_cast<char*>(&magic), 4);
   f.read(reinterpret_cast<char*>(&count), 4);
   if (magic != kMagic) throw std::runtime_error("bad weights magic");
+  // the packing ABI (ops/fused_step.pack_weights) is 158 tensors; reject
+  // drifted exports instead of silently loading weights into wrong fields
+  constexpr uint32_t kExpectedTensors = 158;
+  if (count != kExpectedTensors) {
+    throw std::runtime_error(
+        "weights file has " + std::to_string(count) + " tensors, expected " +
+        std::to_string(kExpectedTensors) + " (packing ABI drift?)");
+  }
 
   Weights w;
   w.bm_w = ReadTensor(f);
@@ -459,15 +467,19 @@ void Irfft512(const float* re, const float* im, float* out) {
 std::vector<float> Engine::EnhanceWav(const std::vector<float>& samples) const {
   const int n = static_cast<int>(samples.size());
   const int hop = 256, nfft = 512, pad = 256;
+  if (n < 2) return samples;  // reflection undefined; nothing to enhance
   auto win = dsp::SqrtHann512();
 
-  // center reflect pad (torch.stft center=True)
+  // center reflect pad (torch.stft center=True); iterate the reflection so
+  // inputs shorter than the pad bounce correctly instead of clamping
   std::vector<float> x(n + 2 * pad);
   for (int i = 0; i < n + 2 * pad; ++i) {
     int src = i - pad;
-    if (src < 0) src = -src;
-    if (src >= n) src = 2 * (n - 1) - src;
-    x[i] = samples[src >= 0 ? src : 0];
+    while (src < 0 || src >= n) {
+      if (src < 0) src = -src;
+      if (src >= n) src = 2 * (n - 1) - src;
+    }
+    x[i] = samples[src];
   }
   const int frames = n / hop + 1;
 

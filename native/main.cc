@@ -42,7 +42,10 @@ bool ReadWav16(const char* path, std::vector<float>* out, uint32_t* fs) {
     } else if (!std::memcmp(cid, "data", 4)) {
       if (bits != 16) return false;
       std::vector<int16_t> raw(csize / 2);
-      f.read(reinterpret_cast<char*>(raw.data()), csize);
+      // read an even byte count: an odd chunk size in a malformed file
+      // must not overflow the int16 buffer by one byte
+      f.read(reinterpret_cast<char*>(raw.data()),
+             static_cast<std::streamsize>(raw.size() * 2));
       out->resize(raw.size() / n_ch);
       for (size_t i = 0; i < out->size(); ++i) {
         (*out)[i] = raw[i * n_ch] / 32768.f;
