@@ -74,3 +74,29 @@ def test_istft_batched_and_length():
     np.testing.assert_allclose(
         np.asarray(y2)[:, 512:-512], x[:, 512:-512], atol=1e-4
     )
+
+
+def test_istft_explicit_lengths_match_torch():
+    """Regression: torch.istft with an explicit length exposes the
+    normalised OLA tail up to ola_len - pad and zero-fills beyond (its own
+    'padded with zeros' warning is misleading -- verified empirically)."""
+    import warnings
+
+    import torch
+
+    from gtcrn_micro_tpu.dsp.stft import istft, sqrt_hann_window, stft
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(16000).astype(np.float32)
+    w = sqrt_hann_window(512)
+    spec = stft(jnp.asarray(x)[None], w)
+    tw = torch.hann_window(512).pow(0.5)
+    tspec = torch.stft(torch.from_numpy(x), 512, 256, 512, tw,
+                       return_complex=True)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for n in (15000, 15872, 16000, 16001, 17000):
+            ours = np.asarray(istft(spec, w, length=n))[0]
+            ref = torch.istft(tspec, 512, 256, 512, tw, length=n).numpy()
+            assert ours.shape == ref.shape == (n,)
+            np.testing.assert_allclose(ours, ref, atol=2e-5)
