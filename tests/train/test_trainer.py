@@ -141,3 +141,21 @@ def test_sharded_serving_step_matches_single_device():
     np.testing.assert_allclose(
         np.concatenate(out, 2), np.concatenate(ref, 2), atol=1e-5
     )
+
+
+def test_vctk_basename_pairing(tmp_path):
+    """VCTK-DEMAND layout: identical basenames in noisy/clean dirs."""
+    from gtcrn_micro_tpu.io.wav import write_wav
+    from gtcrn_micro_tpu.train.dataloader import PairedWavDataset
+
+    nd, cd = tmp_path / "noisy", tmp_path / "clean"
+    nd.mkdir(), cd.mkdir()
+    rng = np.random.default_rng(0)
+    for name in ("p232_001.wav", "p232_002.wav"):
+        write_wav(str(nd / name), rng.standard_normal(4000).astype(np.float32) * 0.1, 16000)
+        write_wav(str(cd / name), rng.standard_normal(4000).astype(np.float32) * 0.1, 16000)
+    ds = PairedWavDataset(noisy_root=str(nd), clean_root=str(cd),
+                          length_seconds=0.25, pairing="basename", train=False)
+    assert len(ds) == 2
+    noisy, clean = ds.load_item(0)
+    assert noisy.shape == clean.shape == (4000,)
