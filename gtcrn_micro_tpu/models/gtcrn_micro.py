@@ -217,3 +217,32 @@ def _jitted_step(model: GTCRNMicro):
 @functools.lru_cache(maxsize=None)
 def _jitted_scan(model: GTCRNMicro):
     return jax.jit(model.scan_frames)
+
+
+if __name__ == "__main__":
+    # Complexity + causality + streaming-parity demo, mirroring the
+    # reference model's __main__ (gtcrn_micro.py:535-570).
+    import numpy as np
+
+    from gtcrn_micro_tpu.utils.complexity import model_complexity
+
+    model = GTCRNMicro()
+    params = model.init(jax.random.PRNGKey(0))
+    n_params, n_macs = model_complexity(model)
+    print(f"params: {n_params / 1e3:.2f} k   MACs/s audio: {n_macs / 1e6:.2f} M")
+
+    # causality: identical prefixes -> identical outputs over the prefix
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((1, 257, 20, 2)).astype(np.float32)
+    b = a.copy()
+    b[:, :, 10:] = rng.standard_normal((1, 257, 10, 2))
+    ya = np.asarray(model.apply_jit(params, jnp.asarray(a)))
+    yb = np.asarray(model.apply_jit(params, jnp.asarray(b)))
+    pre = np.abs(ya[:, :, :10] - yb[:, :, :10]).max()
+    post = np.abs(ya[:, :, 10:] - yb[:, :, 10:]).max()
+    print(f"causality: prefix diff {pre:.2e} (==0), suffix diff {post:.3f} (>0)")
+
+    # streaming == offline
+    state = model.init_state(1)
+    ys, _ = model.scan_frames_jit(params, state, jnp.asarray(a))
+    print(f"streaming vs offline: {np.abs(np.asarray(ys) - ya).max():.2e}")
