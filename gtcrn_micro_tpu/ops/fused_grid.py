@@ -15,14 +15,17 @@ so per-step host dispatch is ONE kernel for any batch size.  Compute math
 is `fused_step._forward_values` -- v1, v2, the XLA paths and the native
 runtime share it.
 
-MEASURED OUTCOME (PERF.md): correct (8e-8 parity) but SLOWER than the XLA
-ring path at scale (4.8 ms @4096 / 18.7 ms @16384 fp32 vs XLA bf16 3.65 ms
-@16384) -- the ~84 per-tile DMAs run synchronously (start+wait) with no
-compute overlap, and tile=256 still crashes the tunnel's Mosaic.  Kept as a
-working reference for the DMA kernel pattern; the XLA NHWC ring path stays
-the serving default.  Mosaic constraint discovered here: HBM DMA slices
-whose middle dim is not a multiple of 8 crash the compiler, hence rings are
-stored freq-padded to 40.
+MEASURED OUTCOME (PERF.md): correct (8e-8 parity).  With double-buffered
+tap prefetch + async frame writes, per-tile cost is ~125 us/128 streams --
+COMPUTE-bound (pipelining DMA barely moved it), ~5x the XLA path's per-
+stream cost at scale (15.9 ms vs 3.65 ms @16k): Mosaic's small-dot/VPU code
+for C=16 shapes cannot match XLA's conv kernels.  It WINS the low-batch
+latency regime: 1.10 ms/frame @1024 streams (XLA 1.14+) and v1 0.92 ms
+@128.  The XLA NHWC ring path stays the throughput default.  Mosaic
+constraints discovered here: HBM DMA slices whose middle dim is not a
+multiple of 8 crash the compiler (rings stored freq-padded to 40); compiles
+at some batch sizes (4096) crash flakily where neighbours (1024/16384)
+succeed.
 """
 
 from __future__ import annotations
@@ -45,6 +48,14 @@ from gtcrn_micro_tpu.ops.fused_step import (
     pack_weights,
 )
 
+# ring consumption order during _forward_values (block entry order);
+# drives the double-buffered tap prefetch pipeline
+TAP_ORDER = (
+    [x for i in range(3) for x in (f"enc{i}_dw", f"enc{i}_tra")]
+    + [f"tcn{s}{j}" for s in range(2) for j in range(4)]
+    + [x for i in range(3) for x in (f"dec{i}_dw", f"dec{i}_tra")]
+)
+
 BIG = (C, F_DOWN)  # conv/tcn ring frame shape (16, 33)
 F_PAD = 40  # rings stored freq-padded: Mosaic crashes on DMA slices whose
 BIG_PAD = (C, F_PAD)  # middle dim is not a multiple of 8 (33 -> 40)
@@ -52,59 +63,83 @@ SMALL = (H,)  # tra ring frame shape
 
 
 class _TapFetcher:
-    """Lazy dict: taps[name] DMAs the tile's slice from HBM on first use.
-
-    Scratch refs are reused across fetches; reads snapshot values (SSA), so
-    earlier taps stay valid after the scratch is overwritten.
-    """
+    """Double-buffered tap prefetch: when ring k's taps are requested, ring
+    k+1's DMAs are already in flight (started when k-1 was consumed), so the
+    copy latency hides behind the block's compute.  Consumption must follow
+    TAP_ORDER (asserted).  Reads snapshot values (SSA), so earlier taps stay
+    valid after their slot is reused."""
 
     def __init__(self, tap_refs, big_scratch, small_scratch, sems, lo, tile):
         self.tap_refs = tap_refs
-        self.big = big_scratch  # (2, 16, 33, tile)
-        self.small = small_scratch  # (2, 8, tile)
-        self.sems = sems  # DMA sems (2,)
+        self.big = big_scratch  # (2 slots, 2 taps, 16, 40, tile)
+        self.small = small_scratch  # (2 slots, 2 taps, 8, tile)
+        self.sems = sems  # DMA sems (2 slots, 2 taps)
         self.lo = lo
         self.tile = tile
+        self.idx = 0
 
-    def __getitem__(self, name):
+    def _copy(self, k):
+        name = TAP_ORDER[k]
         r0, r1 = self.tap_refs[name]
         small = r0.shape[:-1] == SMALL
-        vals = []
+        slot = k % 2
+        cps = []
         for j, r in enumerate((r0, r1)):
             if small:
                 src = r.at[:, pl.ds(self.lo, self.tile)]
-                dst = self.small.at[j]
+                dst = self.small.at[slot, j]
             else:
                 src = r.at[:, :, pl.ds(self.lo, self.tile)]
-                dst = self.big.at[j]
-            cp = pltpu.make_async_copy(src, dst, self.sems.at[j])
-            cp.start()
-            vals.append((cp, dst))
+                dst = self.big.at[slot, j]
+            cps.append(
+                (pltpu.make_async_copy(src, dst, self.sems.at[slot, j]), dst,
+                 small)
+            )
+        return cps
+
+    def __getitem__(self, name):
+        k = self.idx
+        assert TAP_ORDER[k] == name, (name, TAP_ORDER[k])
+        if k == 0:
+            for cp, _d, _s in self._copy(0):
+                cp.start()
+        if k + 1 < len(TAP_ORDER):
+            for cp, _d, _s in self._copy(k + 1):
+                cp.start()
         out = []
-        for cp, dst in vals:
+        for cp, dst, small in self._copy(k):
+            # re-created descriptor matches the started one; wait on its sem
             cp.wait()
             v = dst[...].astype(jnp.float32)
             if not small:
                 v = v[:, :F_DOWN, :]  # drop the DMA-alignment pad
             out.append(v)
+        self.idx += 1
         return tuple(out)
 
 
 class _FrameSink:
-    """frames[name] = value  ->  stage to scratch, DMA to the HBM out ref."""
+    """frames[name] = value -> stage to a ping-pong scratch, async-DMA to the
+    HBM out ref; the write drains while the next block computes.  Before a
+    slot is reused its previous DMA is waited."""
 
-    def __init__(self, frame_refs, big_scratch, small_scratch, sem, lo, tile):
+    def __init__(self, frame_refs, big_scratch, small_scratch, sems, lo, tile):
         self.frame_refs = frame_refs
-        self.big = big_scratch  # (16, 33, tile)
-        self.small = small_scratch  # (8, tile)
-        self.sem = sem
+        self.big = big_scratch  # (2, 16, 40, tile)
+        self.small = small_scratch  # (2, 8, tile)
+        self.sems = sems  # (2,)
         self.lo = lo
         self.tile = tile
+        self.pending: list = [None, None]  # in-flight copy per slot
+        self.idx = 0
 
     def __setitem__(self, name, value):
         ref = self.frame_refs[name]
         small = ref.shape[:-1] == SMALL
-        scratch = self.small if small else self.big
+        slot = self.idx % 2
+        if self.pending[slot] is not None:
+            self.pending[slot].wait()
+        scratch = self.small.at[slot] if small else self.big.at[slot]
         if not small:  # pad F 33 -> 40 for the aligned DMA layout
             value = jnp.pad(value, ((0, 0), (0, F_PAD - F_DOWN), (0, 0)))
         scratch[...] = value.astype(ref.dtype)
@@ -112,9 +147,16 @@ class _FrameSink:
             dst = ref.at[:, pl.ds(self.lo, self.tile)]
         else:
             dst = ref.at[:, :, pl.ds(self.lo, self.tile)]
-        cp = pltpu.make_async_copy(scratch, dst, self.sem)
+        cp = pltpu.make_async_copy(scratch, dst, self.sems.at[slot])
         cp.start()
-        cp.wait()  # scratch is reused by the next frame
+        self.pending[slot] = cp
+        self.idx += 1
+
+    def drain(self):
+        for cp in self.pending:
+            if cp is not None:
+                cp.wait()
+        self.pending = [None, None]
 
 
 def _make_kernel(tile: int):
@@ -137,6 +179,7 @@ def _make_kernel(tile: int):
                             lo, tile)
         spec = spec_ref[...].astype(jnp.float32)
         out, _ = _forward_values(W, spec, taps, jnp.float32, frames)
+        frames.drain()
         out_ref[...] = out.astype(out_ref.dtype)
 
     return kernel
@@ -177,12 +220,12 @@ def _fused_grid_call(weights, spec_t, taps_flat, tile: int,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         scratch_shapes=[
-            pltpu.VMEM((2,) + BIG_PAD + (tile,), jnp.float32),
-            pltpu.VMEM((2,) + SMALL + (tile,), jnp.float32),
-            pltpu.VMEM(BIG_PAD + (tile,), dtype),
-            pltpu.VMEM(SMALL + (tile,), dtype),
+            pltpu.VMEM((2, 2) + BIG_PAD + (tile,), jnp.float32),
+            pltpu.VMEM((2, 2) + SMALL + (tile,), jnp.float32),
+            pltpu.VMEM((2,) + BIG_PAD + (tile,), dtype),
+            pltpu.VMEM((2,) + SMALL + (tile,), dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
