@@ -23,28 +23,10 @@ LATENCY_BUDGET_S = 0.010  # 10 ms per 16 ms frame (BASELINE.md)
 BASELINE_STREAMS = 4096  # north-star target, BASELINE.md / BASELINE.json
 
 
-def _sync(x) -> float:
-    """Force execution to complete by fetching one scalar to the host.
-
-    On this TPU tunnel ``block_until_ready`` does NOT actually block (the
-    relay acks immediately -- measured 27,000 TFLOP/s "matmuls"); only a
-    value fetch round-trips through the device.  The fetch costs a fixed
-    ~27 ms RTT, so timing loops must amortize many steps per sync.
-    """
-    return float(jnp.ravel(x)[0])
-
-
-def measure_rtt(iters: int = 5) -> float:
-    x = jnp.zeros((8, 128), jnp.float32)
-    f = jax.jit(lambda x: x + 1.0)
-    _sync(f(x))
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        _sync(f(x))
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2]
+# On this TPU tunnel ``block_until_ready`` does NOT actually block (the
+# relay acks immediately -- measured 27,000 TFLOP/s "matmuls"); only a value
+# fetch round-trips.  The shared helpers live in utils/profiling.
+from gtcrn_micro_tpu.utils.profiling import measure_rtt, sync as _sync  # noqa: E402
 
 
 def measure_step_latency(model, params, batch: int, *, chain: int = 200,

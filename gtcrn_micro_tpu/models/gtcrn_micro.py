@@ -193,15 +193,22 @@ class GTCRNMicro:
         the sequential-evaluation oracle for streaming==offline tests and the
         building block for the batched-streams throughput path.
         """
+        return scan_stepper(self.step, params, state, spec)
 
-        def body(carry, frame):
-            # frame: (B, F, 2) -> (B, F, 1, 2)
-            y, new_state = self.step(params, carry, frame[:, :, None, :])
-            return new_state, y[:, :, 0, :]
 
-        frames = jnp.moveaxis(spec, 2, 0)  # (T, B, F, 2)
-        final_state, ys = jax.lax.scan(body, state, frames)
-        return jnp.moveaxis(ys, 0, 2), final_state
+def scan_stepper(step_fn, params, state: dict, spec: jax.Array):
+    """Frame-by-frame lax.scan of ANY step-protocol callable
+    (``step(params, state, frame) -> (out, state)``): the single sequential-
+    evaluation helper shared by GTCRNMicro.scan_frames and the quantized /
+    fused parity harnesses."""
+
+    def body(carry, frame):
+        y, new_state = step_fn(params, carry, frame[:, :, None, :])
+        return new_state, y[:, :, 0, :]
+
+    frames = jnp.moveaxis(spec, 2, 0)  # (T, B, F, 2)
+    final_state, ys = jax.lax.scan(body, state, frames)
+    return jnp.moveaxis(ys, 0, 2), final_state
 
 
 @functools.lru_cache(maxsize=None)

@@ -247,6 +247,7 @@ class GridFusedGTCRNMicro:
         self.weights = pack_weights(params, dtype)
 
     def init_state(self, batch: int, dtype=None) -> dict:
+        assert batch % self.tile == 0, (batch, self.tile)
         dtype = dtype or self.dtype
         state = {
             name: jnp.zeros(
@@ -260,6 +261,7 @@ class GridFusedGTCRNMicro:
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
     def step(self, params, state: dict, spec):
         del params
+        assert spec.shape[0] % self.tile == 0, (spec.shape, self.tile)
         t = state["step"]
         spec_t = spec[:, :, 0, :].transpose(2, 1, 0).astype(self.dtype)
 

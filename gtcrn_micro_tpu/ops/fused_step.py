@@ -426,8 +426,9 @@ def _kernel(*refs):
 
 def _fused_call_tile(weights, spec_t, taps_flat, interpret: bool = False):
     """One pallas_call for ONE batch tile (grid=1: this TPU tunnel's compile
-    helper crashes on any grid > 1, so multi-tile batches are mapped outside
-    via lax.map)."""
+    helper crashes when blocked operands double-buffer under a grid, so
+    FusedGTCRNMicro.step unrolls independent per-tile calls; the grid+DMA
+    design lives in ops/fused_grid.py)."""
     tile = spec_t.shape[-1]
     dtype = spec_t.dtype
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -445,89 +446,18 @@ def _fused_call_tile(weights, spec_t, taps_flat, interpret: bool = False):
     )(*weights, spec_t, *taps_flat)
 
 
-def _fused_call_grid(weights, spec_t, taps_flat, tile: int,
-                     interpret: bool = False):
-    """Grid over batch tiles (Pallas double-buffers blocks, so tile must be
-    small enough for 2x blocks in VMEM)."""
-    B = spec_t.shape[-1]
-    n_tiles = B // tile
-    dtype = spec_t.dtype
-
-    def wspec(w):
-        nd = w.ndim
-        return pl.BlockSpec(
-            w.shape, lambda i, nd=nd: (0,) * nd, memory_space=pltpu.VMEM
-        )
-
-    def bspec(shape):
-        nd = len(shape)
-        return pl.BlockSpec(
-            shape[:-1] + (tile,),
-            lambda i, nd=nd: (0,) * (nd - 1) + (i,),
-            memory_space=pltpu.VMEM,
-        )
-
-    in_specs = (
-        [wspec(w) for w in weights]
-        + [bspec((2, F_FULL, B))]
-        + [bspec(t.shape) for t in taps_flat]
-    )
-    out_shapes = [jax.ShapeDtypeStruct((2, F_FULL, B), dtype)]
-    out_specs = [bspec((2, F_FULL, B))]
-    for _name, _L, _d, shape in RING_DEFS:
-        out_shapes.append(jax.ShapeDtypeStruct(shape + (B,), dtype))
-        out_specs.append(bspec(shape + (B,)))
-
-    return pl.pallas_call(
-        _kernel,
-        grid=(n_tiles,),
-        out_shape=tuple(out_shapes),
-        in_specs=in_specs,
-        out_specs=tuple(out_specs),
-        interpret=interpret,
-    )(*weights, spec_t, *taps_flat)
-
-
-@functools.partial(jax.jit, static_argnames=("tile", "interpret", "use_grid"))
-def _fused_call(weights, spec_t, taps_flat, tile: int, interpret: bool = False,
-                use_grid: bool = False):
-    B = spec_t.shape[-1]
-    n_tiles = B // tile
-    if use_grid and n_tiles > 1:
-        return _fused_call_grid(weights, spec_t, taps_flat, tile, interpret)
-    if n_tiles == 1:
-        return _fused_call_tile(weights, spec_t, taps_flat, interpret)
-
-    def split(x):
-        # (..., B) -> (n_tiles, ..., tile)
-        y = x.reshape(x.shape[:-1] + (n_tiles, tile))
-        return jnp.moveaxis(y, -2, 0)
-
-    def join(y):
-        # (n_tiles, ..., tile) -> (..., B)
-        x = jnp.moveaxis(y, 0, -2)
-        return x.reshape(x.shape[:-2] + (B,))
-
-    mapped = jax.lax.map(
-        lambda args: _fused_call_tile(weights, args[0], args[1], interpret),
-        (split(spec_t), tuple(split(t) for t in taps_flat)),
-    )
-    return tuple(join(o) for o in mapped)
-
-
 class FusedGTCRNMicro:
     """Drop-in serving model: same step protocol as GTCRNMicro but the whole
     per-frame forward is one Pallas kernel.  fp32 or bf16."""
 
     def __init__(self, params, dtype=jnp.float32, tile: int = 128,
-                 interpret: bool = False, use_grid: bool = False):
+                 interpret: bool = False):
         from gtcrn_micro_tpu.models.gtcrn_micro import GTCRNMicroConfig
 
         self.config = GTCRNMicroConfig()
         self.dtype = dtype
         self.tile = tile
         self.interpret = interpret  # CPU testing (no Mosaic backend)
-        self.use_grid = use_grid
         self.weights = pack_weights(params, dtype)
 
     def init_state(self, batch: int, dtype=None) -> dict:

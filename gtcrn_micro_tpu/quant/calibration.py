@@ -75,8 +75,11 @@ def _load_specs(
 def calibration_specs(
     wav_dir: str, n_wavs: int = 32, max_frames: int = 973
 ) -> np.ndarray:
-    """(N, F, T, 2) un-normalized spec batch for ``quant.ptq.observe_ranges``."""
-    return _load_specs(wav_dir, n_wavs, max_frames)
+    """(N, F, T, 2) un-normalized spec batch for ``quant.ptq.observe_ranges``.
+
+    Asserts 16 kHz input like ``build_calibration`` -- calibrating on
+    unresampled audio silently mis-scales every activation range."""
+    return _load_specs(wav_dir, n_wavs, max_frames, assert_fs=True)
 
 
 if __name__ == "__main__":

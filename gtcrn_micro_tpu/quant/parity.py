@@ -8,7 +8,7 @@ are paths of ONE graph definition, so the harness compares:
 - fp32 offline  vs int8 fake-quant offline (quantization error)
 - int8 offline  vs int8 streaming (quantized streaming consistency)
 
-plus enhanced-waveform SNR and input saturation fraction.
+plus enhanced-waveform SNR and int8-domain output saturation.
 
 CLI: ``python -m gtcrn_micro_tpu.quant.parity --wav <noisy.wav>
 --checkpoint <ckpt> --calib_dir <wav dir>``
@@ -24,9 +24,13 @@ import numpy as np
 
 from gtcrn_micro_tpu.dsp.stft import istft, sqrt_hann_window, stft
 from gtcrn_micro_tpu.io.wav import read_wav
-from gtcrn_micro_tpu.models.gtcrn_micro import GTCRNMicro
+from gtcrn_micro_tpu.models.gtcrn_micro import GTCRNMicro, scan_stepper
 from gtcrn_micro_tpu.quant.calibration import calibration_specs
-from gtcrn_micro_tpu.quant.fake_quant import act_qparams, quantize
+from gtcrn_micro_tpu.quant.fake_quant import (
+    act_qparams,
+    quantize,
+    saturation_fraction,
+)
 from gtcrn_micro_tpu.quant.ptq import make_quantized_model
 
 
@@ -48,16 +52,9 @@ def run_parity(model, params, qmodel, spec) -> dict[str, float]:
     fp32_stream, _ = jax.jit(model.scan_frames)(params, state, spec)
     fp32_stream = np.asarray(fp32_stream)
 
-    def q_scan(params, state, spec):
-        def body(carry, frame):
-            y, new_state = qmodel.step(params, carry, frame[:, :, None, :])
-            return new_state, y[:, :, 0, :]
-
-        frames = jnp.moveaxis(spec, 2, 0)
-        final_state, ys = jax.lax.scan(body, state, frames)
-        return jnp.moveaxis(ys, 0, 2), final_state
-
-    q_stream, _ = jax.jit(q_scan)(params, qmodel.init_state(1), spec)
+    q_stream, _ = jax.jit(
+        lambda p, s, sp: scan_stepper(qmodel.step, p, s, sp)
+    )(params, qmodel.init_state(1), spec)
     q_stream = np.asarray(q_stream)
 
     wav_fp32 = np.asarray(istft(jnp.asarray(fp32), window))
@@ -68,8 +65,12 @@ def run_parity(model, params, qmodel, spec) -> dict[str, float]:
     out_qp = act_qparams(jnp.min(fp32), jnp.max(fp32))
     q_fp32 = quantize(jnp.asarray(fp32), out_qp).astype(np.int32)
     q_q = quantize(jnp.asarray(q), out_qp).astype(np.int32)
+    # saturation diagnostic (reference output_tests.py:116-135): fraction of
+    # the quantized model's outputs clipped by the fp32-calibrated range
+    out_sat = float(saturation_fraction(jnp.asarray(q), out_qp))
 
     return {
+        "int8_out_saturation": out_sat,
         "stream_vs_offline_fp32_max": float(np.abs(fp32 - fp32_stream).max()),
         "stream_vs_offline_int8_max": float(np.abs(q - q_stream).max()),
         "fp32_vs_int8_mae": float(np.abs(fp32 - q).mean()),

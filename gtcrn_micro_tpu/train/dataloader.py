@@ -81,10 +81,12 @@ class PairedWavDataset:
         self.pairs = paired
         self.epoch_pairs = paired
         self._rng = np.random.default_rng(self.seed)
+        self._epoch = 0
         self.length_samples = int(self.length_seconds * self.fs)
 
     def sample_data_per_epoch(self) -> None:
         """Random subsample for this epoch (reference :108-111)."""
+        self._epoch += 1
         if self.train and self.num_data_per_epoch < len(self.pairs):
             idx = self._rng.choice(
                 len(self.pairs), size=self.num_data_per_epoch, replace=False
@@ -98,17 +100,21 @@ class PairedWavDataset:
             return min(self.num_data_per_epoch, len(self.pairs))
         return len(self.pairs)
 
-    def _crop(self, n_total_hint: int) -> tuple[int, int]:
+    def _crop(self, index: int) -> tuple[int, int]:
         if self.random_start:
+            # a FRESH per-item generator: load_item runs on prefetch worker
+            # threads and numpy Generators are not thread-safe; deriving from
+            # (seed, epoch, index) is both safe and reproducible
+            rng = np.random.default_rng((self.seed, self._epoch, index))
             max_start_s = max(10 - self.length_seconds, 0)
-            begin = int(self._rng.uniform(0, max_start_s)) * self.fs
+            begin = int(rng.uniform(0, max_start_s)) * self.fs
         else:
             begin = 0
         return begin, begin + self.length_samples
 
     def load_item(self, index: int) -> tuple[np.ndarray, np.ndarray]:
         noisy_path, clean_path = self.epoch_pairs[index]
-        start, stop = self._crop(0)
+        start, stop = self._crop(index)
         noisy, _ = read_wav(noisy_path, start=start, stop=stop)
         clean, _ = read_wav(clean_path, start=start, stop=stop)
         if noisy.ndim > 1:

@@ -56,15 +56,29 @@ class CheckpointManager:
 
 
 class BestTracker:
-    """Track the best validation score and keep its state snapshot path."""
+    """Track the best validation score and keep its state snapshot.
+
+    The score is PERSISTED next to the snapshot (best_score.json) and
+    reloaded on construction, so a resumed run cannot clobber the saved best
+    checkpoint with a worse post-resume model."""
 
     def __init__(self, directory: str):
+        import json
+
         self.directory = directory
         self.best_score = -np.inf
         self.best_step = None
+        self._meta = os.path.join(directory, "best_score.json")
+        if os.path.exists(self._meta):
+            with open(self._meta) as f:
+                meta = json.load(f)
+            self.best_score = float(meta["best_score"])
+            self.best_step = meta.get("best_step")
 
     def update(self, step: int, score: float, manager: CheckpointManager,
                state: dict) -> bool:
+        import json
+
         if score > self.best_score:
             self.best_score = score
             self.best_step = step
@@ -72,5 +86,8 @@ class BestTracker:
                                      max_to_keep=1)
             best.save(step, state, force=True)
             best.close()
+            os.makedirs(self.directory, exist_ok=True)
+            with open(self._meta, "w") as f:
+                json.dump({"best_score": float(score), "best_step": step}, f)
             return True
         return False

@@ -31,18 +31,31 @@ def sync(x) -> float:
     return float(jnp.ravel(x)[0])
 
 
+def measure_rtt(iters: int = 5) -> float:
+    """Median fixed cost of one host value-fetch through the TPU tunnel
+    (~28 ms here); subtract it from chained-step timings."""
+    x = jnp.zeros((8, 128), jnp.float32)
+    f = jax.jit(lambda v: v + 1.0)
+    sync(f(x))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        sync(f(x))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
 def time_fn(fn, *args, iters: int = 100, **kwargs) -> float:
-    """Median seconds per call of a jitted fn, amortizing the sync RTT over
-    ``iters`` chained calls (subtracts a measured empty-fetch RTT)."""
+    """Seconds per call of a jitted fn, amortizing the sync RTT over
+    ``iters`` calls with the SAME arguments.
+
+    NOTE: unusable for functions with donated arguments (the first call
+    consumes the buffers) -- time a donating step by chaining its outputs
+    yourself, as bench.measure_step_latency does."""
     out = fn(*args, **kwargs)
     sync(jax.tree.leaves(out)[0])
-
-    # RTT estimate
-    tiny = jax.jit(lambda v: v + 1.0)(jnp.zeros((8, 128)))
-    t0 = time.perf_counter()
-    sync(tiny)
-    rtt = time.perf_counter() - t0
-
+    rtt = measure_rtt()
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args, **kwargs)
