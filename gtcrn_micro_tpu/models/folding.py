@@ -1,5 +1,9 @@
 """Inference-time parameter folding: BatchNorm -> conv weights.
 
+(Serving transform for the reference's BN-everywhere graph, reference
+gtcrn_micro/models/gtcrn_micro.py:142-164 ConvBlock et al.; eval-mode
+BN == affine, so folding is exact.)
+
 Eval-mode BatchNorm is the affine ``y = x*s + t`` with
 ``s = gamma/sqrt(running_var+eps)``, ``t = beta - running_mean*s``; folding
 it into the preceding conv/pointwise weights removes ~19 ops from the

@@ -1,5 +1,9 @@
 """Fused streaming step v2: ONE pallas_call for the whole batch.
 
+(TPU-native addition beyond the reference; the model graph it computes is
+reference gtcrn_micro/models/gtcrn_micro.py:485-532 via
+fused_step._forward_values.)
+
 v1 (ops/fused_step.py) is grid-free: one kernel launch per 128-stream tile,
 because blocked VMEM operands double-buffer under a grid and the 40 tap
 inputs + 21 frame outputs blow VMEM (the tunnel's Mosaic crashes instead of
