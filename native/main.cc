@@ -12,6 +12,7 @@
 #include <cstdio>
 #include <cstring>
 #include <fstream>
+#include <memory>
 #include <vector>
 
 #include "gtcrn_micro.h"
@@ -46,6 +47,11 @@ bool ReadWav16(const char* path, std::vector<float>* out, uint32_t* fs) {
       // must not overflow the int16 buffer by one byte
       f.read(reinterpret_cast<char*>(raw.data()),
              static_cast<std::streamsize>(raw.size() * 2));
+      if (f.gcount() < static_cast<std::streamsize>(raw.size() * 2)) {
+        std::fprintf(stderr, "truncated wav: data chunk promises %u bytes\n",
+                     csize);
+        return false;
+      }
       out->resize(raw.size() / n_ch);
       for (size_t i = 0; i < out->size(); ++i) {
         (*out)[i] = raw[i * n_ch] / 32768.f;
@@ -100,9 +106,15 @@ int main(int argc, char** argv) {
     return 1;
   }
 
-  gtcrn::Engine engine{std::string(argv[1])};
+  std::unique_ptr<gtcrn::Engine> engine;
+  try {
+    engine = std::make_unique<gtcrn::Engine>(std::string(argv[1]));
+  } catch (const std::exception& e) {
+    std::fprintf(stderr, "failed to load weights: %s\n", e.what());
+    return 1;
+  }
   auto t0 = std::chrono::steady_clock::now();
-  auto out = engine.EnhanceWav(samples);
+  auto out = engine->EnhanceWav(samples);
   auto us = std::chrono::duration_cast<std::chrono::microseconds>(
                 std::chrono::steady_clock::now() - t0)
                 .count();
