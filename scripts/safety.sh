@@ -1,7 +1,16 @@
 #!/bin/bash
-# CI gate (reference scripts/safety.sh analog): compile-check + test suite.
-# ruff/bandit are not in this environment; python -m compileall stands in
-# for lint and the pytest suite carries coverage of the golden properties.
+# CI gate (reference scripts/safety.sh analog: ruff + pytest-cov + bandit).
+# ruff/bandit are not installable in the build image; when absent,
+# `python -m compileall` stands in for lint and the pytest suite carries
+# coverage of the golden properties.
 set -euo pipefail
-python -m compileall -q gtcrn_micro_tpu
+if command -v ruff >/dev/null 2>&1; then
+  ruff check gtcrn_micro_tpu tests
+  ruff format --check gtcrn_micro_tpu tests
+else
+  python -m compileall -q gtcrn_micro_tpu
+fi
+if command -v bandit >/dev/null 2>&1; then
+  bandit -q -r gtcrn_micro_tpu
+fi
 python -m pytest tests/ -q
