@@ -142,7 +142,10 @@ class GTCRNMicro:
 
     # -- streaming ---------------------------------------------------------
 
-    def init_state(self, batch: int, dtype=jnp.float32, ring: bool = True) -> dict:
+    def init_state(
+        self, batch: int, dtype=jnp.float32, ring: bool = True,
+        packed: bool = False,
+    ) -> dict:
         """Zeroed streaming caches (flat dict path->array), batched over
         ``batch`` concurrent streams.
 
@@ -151,12 +154,19 @@ class GTCRNMicro:
         instead of shifting the whole window -- O(1) state traffic.  Requires
         T==1 steps.  ``ring=False``: shift-based caches (any chunk size; the
         oracle path for tests).
+
+        ``packed=True`` (serving, implies ring): rings sharing a (length,
+        geometry) live in one ``(L, n, B, *geom)`` buffer; a step issues 2
+        batched tap reads + 1 batched write per group instead of per-layer
+        slices -- same bytes, ~4x fewer state kernels.
         """
         cfg = self.config
 
         def trace(params, spec):
-            ctx = Ctx(state={}, initializing=True, ring=ring)
+            ctx = Ctx(state={}, initializing=True, ring=ring, packed=packed)
             self._forward(params, spec, ctx)
+            if packed:
+                ctx.flush_rings()
             return ctx.new_state
 
         params_shape = jax.eval_shape(lambda: self.init(jax.random.PRNGKey(0)))
@@ -179,8 +189,11 @@ class GTCRNMicro:
         (enhanced (B, F, T_chunk, 2), new_state).  With ring state (default)
         T_chunk must be 1; with shift state any static chunk size works."""
         ring = "step" in state
-        ctx = Ctx(state=state, ring=ring, step=state.get("step"))
+        packed = any(k.startswith("rpack/") for k in state)
+        ctx = Ctx(state=state, ring=ring, packed=packed, step=state.get("step"))
         out = self._forward(params, spec, ctx)
+        if packed:
+            ctx.flush_rings()
         new_state = ctx.new_state
         if ring:
             new_state["step"] = (state["step"] + 1) & 15

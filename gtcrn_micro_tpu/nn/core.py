@@ -66,6 +66,7 @@ class Ctx:
         state: dict | None = None,
         initializing: bool = False,
         ring: bool = False,
+        packed: bool = False,
         step: Any = None,
     ):
         self.training = training
@@ -80,6 +81,16 @@ class Ctx:
         # ring lengths are powers of two <= 16, so ``step`` wraps mod 16.
         self.ring = ring
         self.step = step
+        # Packed rings (serving fast path, opt-in): all rings sharing the
+        # same (length, frame-geometry) live in ONE (L, n, B, *geom) buffer.
+        # Every ring layer here taps at offsets {0, d} with d = L/2, so a
+        # group costs 2 batched slab reads + 1 batched slot write per step
+        # (10 reads + 5 writes total vs 22 + 14 per-layer ops) -- fewer
+        # kernel launches for identical byte traffic.
+        self.packed = packed
+        self._pack_members: dict[tuple, list[str]] = {}
+        self._pack_slabs: dict[tuple, Any] = {}
+        self._pack_pending: dict[tuple, list[Any]] = {}
         # Optional quantization hook (duck-typed, see quant/): an object with
         # ``act(ctx, leaf, x)`` and ``weight(ctx, leaf, w, channel_axis)``
         # called at every conv/matmul boundary.  None = fp32 path, zero cost.
@@ -104,6 +115,69 @@ class Ctx:
 
     def put_stats(self, leaf: str, value: Any) -> None:
         self.stats[self.path(leaf)] = value
+
+    # -- packed-ring transactions -------------------------------------------
+
+    @staticmethod
+    def _pack_key(length: int, trailing: tuple[int, ...]) -> tuple:
+        return (length,) + tuple(trailing)
+
+    @staticmethod
+    def _pack_name(key: tuple) -> str:
+        return "rpack/" + "x".join(str(d) for d in key)
+
+    def ring_io(self, length: int, offsets: list[int], frame: Any) -> list[Any]:
+        """One packed-ring transaction for the calling layer.
+
+        ``frame``: the (B, *geom) frame this layer writes at slot
+        ``step mod length`` (queued; flushed as ONE grouped write by
+        :meth:`flush_rings`).  Returns the taps at ``(step + off) mod length``
+        for each offset, each (B, *geom).  A layer's slot inside its group is
+        its CALL ORDER -- deterministic because the graph traversal order is
+        fixed, and identical between the init trace and every step trace.
+        """
+        key = self._pack_key(length, frame.shape[1:])
+        members = self._pack_members.setdefault(key, [])
+        idx = len(members)
+        members.append(self.path())
+        self._pack_pending.setdefault(key, []).append(frame)
+        if self.initializing:
+            return [jnp.zeros_like(frame) for _ in offsets]
+        pack = self.state[self._pack_name(key)]  # (L, n, B, *geom)
+        taps = []
+        for off in offsets:
+            slab_key = (key, off)
+            slab = self._pack_slabs.get(slab_key)
+            if slab is None:
+                slot = jax.lax.rem(self.step + off, length)
+                slab = jax.lax.dynamic_slice_in_dim(pack, slot, 1, axis=0)
+                self._pack_slabs[slab_key] = slab
+            taps.append(slab[0, idx])
+        return taps
+
+    def flush_rings(self) -> None:
+        """Emit one grouped slot write per (length, geometry) ring group.
+
+        Measured tradeoffs at 16k streams (PERF.md): the stack stages every
+        frame through HBM once more (+9% vs unpacked rings); per-layer DUS
+        into the shared pack is far worse (sequential updates of one buffer
+        defeat XLA's in-place path -> 14 whole-pack copies, +190%).  Packing
+        is therefore an opt-in experiment, not the serving default.
+        """
+        for key, frames in self._pack_pending.items():
+            name = self._pack_name(key)
+            stacked = jnp.stack(frames, axis=0)[None]  # (1, n, B, *geom)
+            if self.initializing:
+                length = key[0]
+                self.new_state[name] = jnp.zeros(
+                    (length,) + stacked.shape[1:], stacked.dtype
+                )
+            else:
+                slot = jax.lax.rem(self.step, key[0])
+                self.new_state[name] = jax.lax.dynamic_update_slice_in_dim(
+                    self.state[name], stacked, slot, axis=0
+                )
+        self._pack_pending.clear()
 
 
 class _Scope:
@@ -305,19 +379,30 @@ class CausalConv2d:
         assert x.shape[1] == 1, "ring mode is the T==1 serving path"
 
         with ctx.scope(self.name):
+            w = params["w"]
+            if not ctx.initializing and ctx.quant is not None:
+                # the ring already holds quantized frames (fake-quant is
+                # idempotent and 0 is exactly representable), so only the
+                # incoming frame needs quantizing
+                x = ctx.quant.act(ctx, "in", x)
+                w = ctx.quant.weight(ctx, "w", w, 3)
+            if ctx.packed:
+                # tap j (j < kT-1) is x_{t-(kT-1-j)d}, at group offset j*d
+                taps = ctx.ring_io(L, [j * d for j in range(kT - 1)], x[:, 0])
+                if ctx.initializing:
+                    return jnp.zeros_like(x[:, :1])  # shape proxy, unused
+                out = self._freq_conv(w[kT - 1 : kT], x)
+                for j, tap in enumerate(taps):
+                    out = out + self._freq_conv(w[j : j + 1], tap[:, None])
+                if self.bias:
+                    out = out + params["b"]
+                return out
             if ctx.initializing:
                 ctx.put_state(
                     "ring", jnp.zeros((x.shape[0], L) + x.shape[2:], x.dtype)
                 )
                 return jnp.zeros_like(x[:, :1])  # shape proxy, unused
             ring = ctx.get_state("ring")
-            w = params["w"]
-            if ctx.quant is not None:
-                # the ring already holds quantized frames (fake-quant is
-                # idempotent and 0 is exactly representable), so only the
-                # incoming frame needs quantizing
-                x = ctx.quant.act(ctx, "in", x)
-                w = ctx.quant.weight(ctx, "w", w, 3)
             t = ctx.step
             # tap j (j < kT-1) applies w[j] to x_{t-(kT-1-j)d}, stored at
             # ring slot (t + j*d) mod L; w[kT-1] applies to the current x.
@@ -462,21 +547,27 @@ class TRALite:
         """Ring-buffer step (T==1): O(1) energy-cache traffic."""
         L = self.time_context
         with ctx.scope(self.name):
-            ring = ctx.get_state("ring")  # (B, L, C)
             depth_w, point_w = params["depth_w"], params["point_w"]
             if ctx.quant is not None:
                 e = ctx.quant.act(ctx, "energy", e)
                 depth_w = ctx.quant.weight(ctx, "depth_w", depth_w, 1)
             t = ctx.step
-            y = params["depth_b"] + e[:, 0] * depth_w[self.kernel - 1]
-            for j in range(self.kernel - 1):
-                slot = jax.lax.rem(t + j, L)
-                tap = jax.lax.dynamic_slice_in_dim(ring, slot, 1, axis=1)
-                y = y + tap[:, 0] * depth_w[j]
-            new_ring = jax.lax.dynamic_update_slice_in_dim(
-                ring, e, jax.lax.rem(t, L), axis=1
-            )
-            ctx.put_state("ring", new_ring)
+            if ctx.packed:
+                taps = ctx.ring_io(L, list(range(self.kernel - 1)), e[:, 0])
+                y = params["depth_b"] + e[:, 0] * depth_w[self.kernel - 1]
+                for j, tap in enumerate(taps):
+                    y = y + tap * depth_w[j]
+            else:
+                ring = ctx.get_state("ring")  # (B, L, C)
+                y = params["depth_b"] + e[:, 0] * depth_w[self.kernel - 1]
+                for j in range(self.kernel - 1):
+                    slot = jax.lax.rem(t + j, L)
+                    tap = jax.lax.dynamic_slice_in_dim(ring, slot, 1, axis=1)
+                    y = y + tap[:, 0] * depth_w[j]
+                new_ring = jax.lax.dynamic_update_slice_in_dim(
+                    ring, e, jax.lax.rem(t, L), axis=1
+                )
+                ctx.put_state("ring", new_ring)
             y = y[:, None]  # (B, 1, C)
             if ctx.quant is not None:
                 y = ctx.quant.act(ctx, "gate_in", y)
@@ -496,10 +587,13 @@ class TRALite:
             if ctx.streaming:
                 with ctx.scope(self.name):
                     if ctx.initializing:
-                        cache = jnp.zeros(
-                            (e.shape[0], L, e.shape[2]), dtype=e.dtype
-                        )
-                        ctx.put_state("ring" if ctx.ring else "cache", cache)
+                        if ctx.ring and ctx.packed:
+                            ctx.ring_io(L, [], e[:, 0])  # register slot order
+                        else:
+                            cache = jnp.zeros(
+                                (e.shape[0], L, e.shape[2]), dtype=e.dtype
+                            )
+                            ctx.put_state("ring" if ctx.ring else "cache", cache)
                     else:
                         cache = ctx.get_state("cache")
                         e_cat = jnp.concatenate([cache, e], axis=1)
