@@ -76,24 +76,54 @@ def main(args=None) -> None:
     parser.add_argument("--out_dir", default="export")
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--frames", type=int, default=63)
+    parser.add_argument(
+        "--format", choices=["all", "stablehlo", "onnx", "native"],
+        default="all",
+        help="stablehlo: jax.export artifacts; onnx: opset-16 offline + "
+        "streaming-step graphs (io/onnx_export.py); native: C++ runtime "
+        "weights binary",
+    )
     ns = parser.parse_args(args)
 
     from gtcrn_micro_tpu.eval.infer import load_params
-    from gtcrn_micro_tpu.io.export_native import export_native_weights
 
     model = GTCRNMicro()
     params = load_params(ns.checkpoint)
     os.makedirs(ns.out_dir, exist_ok=True)
+    produced = []
 
-    off = export_offline(model, params, ns.batch, ns.frames)
-    with open(os.path.join(ns.out_dir, "gtcrn_micro_offline.stablehlo"), "wb") as f:
-        f.write(off)
-    stream = export_streaming(model, params, ns.batch)
-    with open(os.path.join(ns.out_dir, "gtcrn_micro_stream.stablehlo"), "wb") as f:
-        f.write(stream)
-    n = export_native_weights(params, os.path.join(ns.out_dir, "gtcrn_micro_weights.bin"))
-    print(f"exported offline ({len(off)} B), streaming ({len(stream)} B), "
-          f"native weights ({n} tensors) to {ns.out_dir}")
+    if ns.format in ("all", "stablehlo"):
+        off = export_offline(model, params, ns.batch, ns.frames)
+        with open(os.path.join(ns.out_dir, "gtcrn_micro_offline.stablehlo"), "wb") as f:
+            f.write(off)
+        stream = export_streaming(model, params, ns.batch)
+        with open(os.path.join(ns.out_dir, "gtcrn_micro_stream.stablehlo"), "wb") as f:
+            f.write(stream)
+        produced.append(f"stablehlo offline ({len(off)} B) + stream ({len(stream)} B)")
+
+    if ns.format in ("all", "onnx"):
+        from gtcrn_micro_tpu.io.onnx_export import (
+            export_model_onnx,
+            export_stream_onnx,
+        )
+
+        off = export_model_onnx(model, params, ns.batch, ns.frames)
+        with open(os.path.join(ns.out_dir, "gtcrn_micro.onnx"), "wb") as f:
+            f.write(off)
+        stream = export_stream_onnx(model, params, ns.batch)
+        with open(os.path.join(ns.out_dir, "gtcrn_micro_stream.onnx"), "wb") as f:
+            f.write(stream)
+        produced.append(f"onnx offline ({len(off)} B) + stream ({len(stream)} B)")
+
+    if ns.format in ("all", "native"):
+        from gtcrn_micro_tpu.io.export_native import export_native_weights
+
+        n = export_native_weights(
+            params, os.path.join(ns.out_dir, "gtcrn_micro_weights.bin")
+        )
+        produced.append(f"native weights ({n} tensors)")
+
+    print(f"exported {'; '.join(produced)} to {ns.out_dir}")
 
 
 if __name__ == "__main__":

@@ -222,9 +222,10 @@ def _parse_graph(b: bytes) -> OnnxGraph:
     return OnnxGraph(nodes, inits, inputs, outputs)
 
 
-def load_onnx(path: str) -> OnnxGraph:
-    """Parse an .onnx file into an OnnxGraph (no onnx package needed)."""
-    data = open(path, "rb").read()
+def load_onnx(path: str | bytes) -> OnnxGraph:
+    """Parse an .onnx file (path or raw bytes) into an OnnxGraph (no onnx
+    package needed)."""
+    data = path if isinstance(path, (bytes, bytearray)) else open(path, "rb").read()
     for fn, _wt, v in _fields(data):
         if fn == 7:  # ModelProto.graph
             return _parse_graph(v)
@@ -326,6 +327,32 @@ def _op_unsqueeze(node, x, axes=None):
     return x
 
 
+def _op_reduce_sum(node, x, axes=None):
+    if axes is None:
+        axes = node.attrs.get("axes")
+    axes = tuple(int(a) for a in np.atleast_1d(np.asarray(axes))) \
+        if axes is not None else None
+    keepdims = bool(node.attrs.get("keepdims", 1))
+    return jnp.sum(x, axis=axes, keepdims=keepdims)
+
+
+def _op_pad(node, x, pads, value=None, axes=None):
+    mode = node.attrs.get("mode", b"constant")
+    if mode != b"constant":
+        raise NotImplementedError(f"Pad mode {mode!r}")
+    pads = np.asarray(pads)
+    half = len(pads) // 2
+    if axes is not None:
+        full = np.zeros(2 * x.ndim, np.int64)
+        for i, ax in enumerate(np.asarray(axes)):
+            full[int(ax)] = pads[i]
+            full[x.ndim + int(ax)] = pads[half + i]
+        pads, half = full, x.ndim
+    cfg = [(int(pads[i]), int(pads[half + i]), 0) for i in range(half)]
+    cval = jnp.asarray(0.0 if value is None else jnp.ravel(value)[0], x.dtype)
+    return jax.lax.pad(x, cval, cfg)
+
+
 def _op_avgpool(n, x):
     k = tuple(n.attrs["kernel_shape"])
     strides = tuple(n.attrs.get("strides", k))
@@ -398,6 +425,27 @@ _OPS = {
     "Flatten": lambda n, x: jnp.reshape(
         x, (int(np.prod(x.shape[: n.attrs.get("axis", 1)])), -1)
     ),
+    "ReduceSum": _op_reduce_sum,
+    "Expand": lambda n, x, shape: jnp.broadcast_to(
+        x, np.broadcast_shapes(
+            x.shape, tuple(int(s) for s in np.asarray(shape))
+        )
+    ),
+    "Reciprocal": lambda n, x: 1.0 / x,
+    "Where": lambda n, c, a, b: jnp.where(c, a, b),
+    "Greater": lambda n, a, b: a > b,
+    "Less": lambda n, a, b: a < b,
+    "Equal": lambda n, a, b: a == b,
+    "GreaterOrEqual": lambda n, a, b: a >= b,
+    "LessOrEqual": lambda n, a, b: a <= b,
+    "And": lambda n, a, b: a & b,
+    "Or": lambda n, a, b: a | b,
+    "Not": lambda n, a: ~a,
+    "Pad": _op_pad,
+    "Sign": lambda n, x: jnp.sign(x),
+    "Floor": lambda n, x: jnp.floor(x),
+    "Ceil": lambda n, x: jnp.ceil(x),
+    "PRelu": lambda n, x, slope: jnp.where(x > 0, x, slope * x),
     "Identity": lambda n, x: x,
     "Cast": lambda n, x: x.astype(_DTYPES[n.attrs["to"]]),
     "Shape": lambda n, x: np.asarray(x.shape, np.int64),
@@ -412,7 +460,7 @@ class OnnxModel:
     shape.  This is the TPU-native replacement for an onnxruntime session.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str | bytes):
         self.graph = load_onnx(path)
         self.params = {
             k: jnp.asarray(v) if v.dtype != np.int64 else v
