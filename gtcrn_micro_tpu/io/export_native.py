@@ -40,6 +40,113 @@ def export_native_weights(params, path: str) -> int:
     return len(tensors)
 
 
+# ---------------------------------------------------------------------------
+# GTM8: full-integer int8 artifact (the reference's deployment format --
+# full-integer .tflite via onnx2tf -oiqt, scripts/onnx2tf.sh:50-64)
+# ---------------------------------------------------------------------------
+
+MAGIC_INT8 = 0x47544D38  # "GTM8"
+
+# Per-slot quantization: None = keep fp32, int = per-channel axis in the
+# PACKED layout (pack_weights order).  Biases/alphas and the frozen ERB
+# filterbank stay fp32.
+_GT_SLOT_AXES = [0, None, None, None, None, None, 0, None, 1, None, 0, None]
+_GT_DW_AXIS_IDX = 3  # dw_w slot position inside a GTConv group
+_TCN_SLOT_AXES = [0, None, None, 1, None, None, 0, None, None]
+
+
+def _slot_axes() -> list:
+    """Channel axis per pack_weights slot (158 entries)."""
+    axes: list = [None, None, 1]  # bm, bs, sfe (3, c, 1, 1) -> axis 1
+    for _ in ("en0", "en1"):
+        axes += [1, None, None]  # w (5, Co, Ci) -> axis 1
+    for _ in range(3):  # encoder GTConv: dw (kt*kf, C, 1, 1) -> axis 1
+        gt = list(_GT_SLOT_AXES)
+        gt[_GT_DW_AXIS_IDX] = 1
+        axes += gt
+    for _ in range(8):
+        axes += _TCN_SLOT_AXES
+    for _ in range(3):  # decoder GTConv: dw (kt, kf, Co, Ci) -> axis 2
+        gt = list(_GT_SLOT_AXES)
+        gt[_GT_DW_AXIS_IDX] = 2
+        axes += gt
+    axes += [1, None, None]  # de3
+    axes += [1, None]  # de4
+    return axes
+
+
+def act_path_order() -> list[str]:
+    """The 59 activation-quant boundaries in graph traversal order == the
+    order the native int8 engine consumes them (native/gtcrn_micro_q.cc
+    WeightsQ::Load)."""
+    gt = ("pw1/in", "depth_conv/in", "pw2/in", "tra/energy", "tra/gate_in")
+    order = ["sfe/depth_conv/in", "encoder/en0/conv/in", "encoder/en1/conv/in"]
+    for n in ("en2", "en3", "en4"):
+        order += [f"encoder/{n}/{x}" for x in gt]
+    for s in ("gtcn1", "gtcn2"):
+        for j in range(4):
+            order += [f"{s}/block{j}/{x}"
+                      for x in ("pw1/in", "conv2/in", "pw3/in")]
+    for n in ("de0", "de1", "de2"):
+        order += [f"decoder/{n}/{x}" for x in gt]
+    order += ["decoder/de3/conv/in", "decoder/de4/conv/in"]
+    return order
+
+
+def _quantize_per_channel(t: np.ndarray, axis: int):
+    """TFLite-style symmetric per-channel int8, bit-matching
+    quant/fake_quant.weight_qparams (all arithmetic in float32 -- float64
+    promotion would drift scales by 1 ulp and whole weights by a quantum)."""
+    t = t.astype(np.float32)
+    red = tuple(i for i in range(t.ndim) if i != axis)
+    amax = np.max(np.abs(t), axis=red)
+    scale = np.maximum(
+        (amax / np.float32(127.0)).astype(np.float32), np.float32(1e-12)
+    )
+    shape = [1] * t.ndim
+    shape[axis] = t.shape[axis]
+    q = np.clip(np.rint(t / scale.reshape(shape)), -128, 127).astype(np.int8)
+    return q, scale
+
+
+def export_native_weights_int8(params, act_qp: dict, path: str) -> int:
+    """Serialize the full-integer int8 artifact (GTM8).
+
+    ``act_qp``: path -> QParams (from quant.ptq calibration, act_bits=8).
+    Weights are BN-folded THEN quantized per out-channel -- the TFLite fold-
+    then-quantize order, which is also what the native integer kernels
+    execute.  Returns the tensor count."""
+    from gtcrn_micro_tpu.ops.fused_step import pack_weights
+
+    tensors = [np.asarray(w, np.float32) for w in pack_weights(params)]
+    axes = _slot_axes()
+    assert len(tensors) == len(axes)
+    order = act_path_order()
+    missing = [p for p in order if p not in act_qp]
+    if missing:
+        raise KeyError(f"act_qp missing paths: {missing[:3]}...")
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<II", MAGIC_INT8, len(tensors)))
+        for t, axis in zip(tensors, axes):
+            f.write(struct.pack("<I", t.ndim))
+            f.write(struct.pack(f"<{t.ndim}I", *t.shape))
+            if axis is None:
+                f.write(struct.pack("<I", 0))
+                f.write(t.astype("<f4").tobytes())
+            else:
+                q, scale = _quantize_per_channel(t, axis)
+                f.write(struct.pack("<II", 1, len(scale)))
+                f.write(scale.astype("<f4").tobytes())
+                f.write(q.tobytes())
+        f.write(struct.pack("<I", len(order)))
+        for p in order:
+            qp = act_qp[p]
+            assert int(qp.qmax) == 127, f"{p}: GTM8 requires act_bits=8"
+            f.write(struct.pack("<fi", float(qp.scale), int(qp.zero)))
+    return len(tensors)
+
+
 def load_native_weights(path: str) -> list[np.ndarray]:
     """Read a native weights file back (round-trip testing)."""
     out = []

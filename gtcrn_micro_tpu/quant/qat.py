@@ -1,0 +1,215 @@
+"""Quantization-aware training: recover full-int8 quality by distillation.
+
+The reference ships a full-integer int8 artifact as its deployment format
+(scripts/onnx2tf.sh:50-64); plain PTQ of this model at int8 loses most of
+its fidelity (EVAL.md: 28 dB vs fp32 -- the TRA gates and decoder have high
+dynamic range).  QAT closes the gap the standard way:
+
+1. distillation corpus: noisy wavs in, the fp32 checkpoint's OWN enhanced
+   output as target -- QAT then directly optimises "int8 path == fp32 path",
+   the same metric EVAL.md reports, with no clean speech needed
+2. activation qparams frozen from PTQ calibration; weight qparams track the
+   moving weights per channel (quant/fake_quant.py straight-through rounding)
+3. BatchNorm frozen to the checkpoint's running stats (``freeze_bn=True``):
+   tiny fine-tune batches must not drag the stats the weights were trained
+   under
+
+CLI (defaults follow the round-1 distillation protocol, EVAL.md §2: train on
+examples 1-4, hold out 5)::
+
+    python -m gtcrn_micro_tpu.quant.qat --checkpoint <ckpt.tar> \
+        --wav_dir /root/reference/gtcrn_micro/examples/gtcrn_micro \
+        --steps 400 --out_dir /tmp/qat
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gtcrn_micro_tpu.dsp.stft import istft, sqrt_hann_window, stft
+from gtcrn_micro_tpu.io.wav import read_wav
+from gtcrn_micro_tpu.models.gtcrn_micro import GTCRNMicro
+from gtcrn_micro_tpu.quant.fake_quant import act_qparams
+from gtcrn_micro_tpu.quant.parity import snr_db
+from gtcrn_micro_tpu.quant.ptq import (
+    FakeQuantizer,
+    QuantizedModel,
+    observe_ranges,
+)
+
+
+def enhance_fp32(model, params, wav: np.ndarray) -> np.ndarray:
+    """Offline fp32 enhancement of one wav (the distillation target)."""
+    window = sqrt_hann_window(model.config.win_len)
+    spec = stft(jnp.asarray(wav, jnp.float32)[None], window)
+    enh = model.apply_jit(params, spec)
+    return np.asarray(istft(enh, window, length=len(wav)))[0]
+
+
+def build_distill_corpus(
+    model, params, wav_paths: list[str], segment_seconds: float = 4.0,
+    fs: int = 16000,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(noisy, target) segment pairs: target = fp32 model output.
+
+    Mirrors the round-1 training-stack validation protocol (EVAL.md §2)."""
+    seg = int(segment_seconds * fs)
+    noisy_segs, target_segs = [], []
+    for path in wav_paths:
+        wav, wav_fs = read_wav(path)
+        if wav.ndim > 1:
+            wav = wav[:, 0]
+        assert wav_fs == fs, f"{path}: fs {wav_fs} != {fs}"
+        target = enhance_fp32(model, params, wav)
+        for s in range(0, len(wav) - seg + 1, seg):
+            noisy_segs.append(wav[s : s + seg])
+            target_segs.append(target[s : s + seg])
+    return (
+        np.stack(noisy_segs).astype(np.float32),
+        np.stack(target_segs).astype(np.float32),
+    )
+
+
+def calibrate_act_qparams(
+    model, params, noisy: np.ndarray, act_bits: int = 8,
+    percentile: float = 99.99,
+) -> dict:
+    """Frozen activation qparams from the corpus' noisy spectra."""
+    window = sqrt_hann_window(model.config.win_len)
+    specs = np.asarray(stft(jnp.asarray(noisy), window))
+    ranges = observe_ranges(model, params, specs, batch_size=4,
+                            percentile=percentile)
+    return {
+        path: act_qparams(jnp.float32(lo), jnp.float32(hi), act_bits)
+        for path, (lo, hi) in ranges.items()
+    }
+
+
+def qat_finetune(
+    model,
+    params,
+    noisy: np.ndarray,
+    target: np.ndarray,
+    act_qp: dict,
+    steps: int = 400,
+    batch_size: int = 8,
+    max_lr: float = 2e-4,
+    seed: int = 0,
+    log_every: int = 50,
+):
+    """Fine-tune ``params`` through the int8 fake-quant graph.  Returns
+    (qat_params, losses)."""
+    from gtcrn_micro_tpu.train.scheduler import WarmupCosineConfig
+    from gtcrn_micro_tpu.train.trainer import make_optimizer, make_train_step
+
+    opt = make_optimizer(
+        params,
+        WarmupCosineConfig(
+            warmup_steps=max(steps // 20, 1),
+            decay_until_step=steps,
+            max_lr=max_lr,
+            min_lr=max_lr / 100,
+        ),
+    )
+    step_fn = jax.jit(
+        make_train_step(
+            model, opt, quantizer=FakeQuantizer(act_qp), freeze_bn=True
+        )
+    )
+    opt_state = opt.init(params)
+    rng = np.random.default_rng(seed)
+    losses = []
+    p = params
+    for i in range(steps):
+        idx = rng.choice(len(noisy), size=batch_size, replace=True)
+        p, opt_state, loss = step_fn(
+            p, opt_state, jnp.asarray(noisy[idx]), jnp.asarray(target[idx])
+        )
+        losses.append(float(loss))
+        if log_every and (i + 1) % log_every == 0:
+            print(f"  qat step {i + 1}/{steps}  loss {losses[-1]:.4f}")
+    return p, losses
+
+
+def quant_wav_snr(model, qat_params, act_qp, wav: np.ndarray,
+                  target_wav: np.ndarray) -> float:
+    """Enhanced-wav SNR of the int8 fake-quant path vs the fp32 target."""
+    window = sqrt_hann_window(model.config.win_len)
+    spec = stft(jnp.asarray(wav, jnp.float32)[None], window)
+    qmodel = QuantizedModel(model=model, act_qp=act_qp)
+    enh = jax.jit(qmodel.apply)(qat_params, spec)
+    out = np.asarray(istft(enh, window, length=len(wav)))[0]
+    return snr_db(target_wav, out)
+
+
+def main(args=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument(
+        "--wav_dir",
+        default="/root/reference/gtcrn_micro/examples/gtcrn_micro",
+    )
+    parser.add_argument("--train_wavs", default="noisy1,noisy2,noisy3,noisy4")
+    parser.add_argument("--held_out", default="noisy5")
+    parser.add_argument("--steps", type=int, default=400)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--max_lr", type=float, default=2e-4)
+    parser.add_argument("--act_bits", type=int, default=8, choices=(8, 16))
+    parser.add_argument("--out_dir", default="/tmp/gtcrn_qat")
+    ns = parser.parse_args(args)
+
+    from gtcrn_micro_tpu.eval.infer import load_params
+
+    model = GTCRNMicro()
+    params = load_params(ns.checkpoint)
+    train_paths = [
+        os.path.join(ns.wav_dir, f"{n}.wav") for n in ns.train_wavs.split(",")
+    ]
+    held_path = os.path.join(ns.wav_dir, f"{ns.held_out}.wav")
+
+    print("building distillation corpus (fp32 targets) ...")
+    noisy, target = build_distill_corpus(model, params, train_paths)
+    print(f"  {len(noisy)} segments of {noisy.shape[1] / 16000:.0f} s")
+
+    act_qp = calibrate_act_qparams(model, params, noisy, ns.act_bits)
+
+    held_wav, _ = read_wav(held_path)
+    if held_wav.ndim > 1:
+        held_wav = held_wav[:, 0]
+    held_target = enhance_fp32(model, params, held_wav)
+    seen_wav = noisy[0]
+    seen_target = target[0]
+
+    before_held = quant_wav_snr(model, params, act_qp, held_wav, held_target)
+    before_seen = quant_wav_snr(model, params, act_qp, seen_wav, seen_target)
+    print(f"PTQ int{ns.act_bits} SNR vs fp32: held-out {before_held:.1f} dB, "
+          f"train-wav {before_seen:.1f} dB")
+
+    qat_params, losses = qat_finetune(
+        model, params, noisy, target, act_qp,
+        steps=ns.steps, batch_size=ns.batch_size, max_lr=ns.max_lr,
+    )
+
+    after_held = quant_wav_snr(model, qat_params, act_qp, held_wav, held_target)
+    after_seen = quant_wav_snr(model, qat_params, act_qp, seen_wav, seen_target)
+    print(f"QAT int{ns.act_bits} SNR vs fp32: held-out {after_held:.1f} dB, "
+          f"train-wav {after_seen:.1f} dB")
+    print(f"loss: first {losses[0]:.4f} -> last {losses[-1]:.4f}")
+
+    os.makedirs(ns.out_dir, exist_ok=True)
+    # save via orbax (same format the trainer writes)
+    from gtcrn_micro_tpu.utils.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(os.path.join(ns.out_dir, "checkpoints"))
+    mgr.save(ns.steps, {"params": jax.device_get(qat_params)})
+    mgr.close()
+    print(f"QAT params saved to {ns.out_dir}/checkpoints")
+
+
+if __name__ == "__main__":
+    main()

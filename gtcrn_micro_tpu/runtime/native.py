@@ -46,55 +46,110 @@ def build_native(force: bool = False) -> str:
 
 
 class NativeEngine:
-    """One engine + one stream state (create several for multiple streams)."""
+    """One engine + one stream state (use :meth:`step_batch` for servers).
 
-    def __init__(self, weights_path: str, lib_path: str | None = None):
+    ``int8=True`` loads a GTM8 full-integer artifact
+    (io/export_native.export_native_weights_int8) through the int8 engine --
+    the deployment format analog of the reference's int8 .tflite + TFLM
+    (esp32_s3/main/main.cc)."""
+
+    def __init__(self, weights_path: str, lib_path: str | None = None,
+                 int8: bool = False):
         lib_path = lib_path or build_native()
         self._lib = ctypes.CDLL(lib_path)
-        self._lib.gtm_engine_create.restype = ctypes.c_void_p
-        self._lib.gtm_engine_create.argtypes = [ctypes.c_char_p]
-        self._lib.gtm_state_create.restype = ctypes.c_void_p
-        self._lib.gtm_step.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        p = "gtm_q" if int8 else "gtm_"
+        self._fn = {
+            name: getattr(self._lib, f"{p}{name}")
+            for name in (
+                "engine_create", "engine_destroy", "state_create",
+                "state_destroy", "state_reset", "step", "enhance",
+                "state_batch_create", "state_batch_destroy", "step_batch",
+            )
+        }
+        self._fn["engine_create"].restype = ctypes.c_void_p
+        self._fn["engine_create"].argtypes = [ctypes.c_char_p]
+        self._fn["state_create"].restype = ctypes.c_void_p
+        self._fn["state_create"].argtypes = [ctypes.c_void_p]
+        self._fn["state_reset"].argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        self._fn["state_batch_create"].restype = ctypes.c_void_p
+        self._fn["state_batch_create"].argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
         ]
-        self._lib.gtm_enhance.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_float),
+        fp = ctypes.POINTER(ctypes.c_float)
+        self._fn["step"].argtypes = [ctypes.c_void_p, ctypes.c_void_p, fp, fp]
+        self._fn["enhance"].argtypes = [
+            ctypes.c_void_p, fp, ctypes.c_int, fp,
         ]
-        self._engine = self._lib.gtm_engine_create(weights_path.encode())
+        self._fn["step_batch"].argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, fp, fp, ctypes.c_int,
+        ]
+        self._engine = self._fn["engine_create"](weights_path.encode())
         if not self._engine:
             raise RuntimeError(f"failed to load weights: {weights_path}")
-        self._state = self._lib.gtm_state_create()
+        self._state = self._fn["state_create"](ctypes.c_void_p(self._engine))
+        self._batch_states = None
+        self._batch_n = 0
 
     def reset(self) -> None:
-        self._lib.gtm_state_reset(ctypes.c_void_p(self._state))
+        self._fn["state_reset"](
+            ctypes.c_void_p(self._engine), ctypes.c_void_p(self._state)
+        )
 
     def step(self, spec_frame: np.ndarray) -> np.ndarray:
         """(257, 2) spec frame -> enhanced (257, 2)."""
         buf = np.ascontiguousarray(spec_frame.T, np.float32)  # (2, 257)
         out = np.empty((2, 257), np.float32)
-        self._lib.gtm_step(
+        fp = ctypes.POINTER(ctypes.c_float)
+        self._fn["step"](
             ctypes.c_void_p(self._engine), ctypes.c_void_p(self._state),
-            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            buf.ctypes.data_as(fp), out.ctypes.data_as(fp),
         )
         return out.T.copy()
+
+    def step_batch(self, spec_frames: np.ndarray) -> np.ndarray:
+        """(N, 257, 2) spec frames, one per stream -> enhanced (N, 257, 2).
+
+        Per-stream states are created lazily on the first call and persist
+        across calls (a resize resets them)."""
+        n = spec_frames.shape[0]
+        if self._batch_states is None or n != self._batch_n:
+            if self._batch_states is not None:
+                self._fn["state_batch_destroy"](
+                    ctypes.c_void_p(self._batch_states)
+                )
+            self._batch_states = self._fn["state_batch_create"](
+                ctypes.c_void_p(self._engine), n
+            )
+            self._batch_n = n
+        buf = np.ascontiguousarray(
+            np.swapaxes(spec_frames, 1, 2), np.float32
+        )  # (N, 2, 257)
+        out = np.empty((n, 2, 257), np.float32)
+        fp = ctypes.POINTER(ctypes.c_float)
+        self._fn["step_batch"](
+            ctypes.c_void_p(self._engine), ctypes.c_void_p(self._batch_states),
+            buf.ctypes.data_as(fp), out.ctypes.data_as(fp), n,
+        )
+        return np.swapaxes(out, 1, 2).copy()
 
     def enhance(self, samples: np.ndarray) -> np.ndarray:
         """16 kHz waveform -> enhanced waveform (same length)."""
         x = np.ascontiguousarray(samples, np.float32)
         out = np.empty_like(x)
-        self._lib.gtm_enhance(
+        fp = ctypes.POINTER(ctypes.c_float)
+        self._fn["enhance"](
             ctypes.c_void_p(self._engine),
-            x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(x),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            x.ctypes.data_as(fp), len(x), out.ctypes.data_as(fp),
         )
         return out
 
     def __del__(self):
         try:
-            self._lib.gtm_state_destroy(ctypes.c_void_p(self._state))
-            self._lib.gtm_engine_destroy(ctypes.c_void_p(self._engine))
+            if self._batch_states is not None:
+                self._fn["state_batch_destroy"](
+                    ctypes.c_void_p(self._batch_states)
+                )
+            self._fn["state_destroy"](ctypes.c_void_p(self._state))
+            self._fn["engine_destroy"](ctypes.c_void_p(self._engine))
         except Exception:
             pass

@@ -131,13 +131,20 @@ def make_train_step(
     loss_cfg: HybridLossConfig = HybridLossConfig(),
     trainer_cfg: TrainerConfig = TrainerConfig(),
     quantizer=None,
+    freeze_bn: bool = False,
 ) -> Callable:
     """Returns jit-able ``step(params, opt_state, noisy, clean) ->
     (params, opt_state, loss)`` with noisy/clean (B, samples).
 
     ``quantizer``: optional ctx.quant hook (e.g. ``quant.FakeQuantizer``)
     for quantization-aware training -- fake-quant is a straight-through
-    estimator, so the same jitted step trains through the int8 grid."""
+    estimator, so the same jitted step trains through the int8 grid.
+
+    ``freeze_bn``: normalise with the checkpoint's running stats instead of
+    batch stats and do not update them -- the standard recipe when
+    fine-tuning a TRAINED checkpoint (QAT): tiny fine-tune batches would
+    otherwise drag the running stats away from the distribution the weights
+    were trained under.  Gradients still flow to gamma/beta."""
     window = hann_window(trainer_cfg.win_len)
 
     def compute_loss(params, noisy, clean):
@@ -147,7 +154,7 @@ def make_train_step(
         clean_spec = stft(
             clean, window, trainer_cfg.n_fft, trainer_cfg.hop_len, trainer_cfg.win_len
         )
-        ctx = Ctx(training=True)
+        ctx = Ctx(training=not freeze_bn)
         ctx.quant = quantizer
         enhanced = model._forward(params, noisy_spec, ctx)
         return hybrid_loss(enhanced, clean_spec, loss_cfg), ctx.stats
@@ -158,7 +165,7 @@ def make_train_step(
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        params = apply_bn_stats(params, stats)
+        params = apply_bn_stats(params, stats)  # no-op when stats == {}
         return params, opt_state, loss
 
     return train_step

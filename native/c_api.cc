@@ -20,13 +20,17 @@ void gtm_engine_destroy(void* engine) {
   delete static_cast<gtcrn::Engine*>(engine);
 }
 
-void* gtm_state_create() { return new (std::nothrow) gtcrn::StreamState(); }
+// engine arg unused for fp32 (zero-filled rings are correct) -- kept for
+// signature symmetry with the int8 variants
+void* gtm_state_create(void* /*engine*/) {
+  return new (std::nothrow) gtcrn::StreamState();
+}
 
 void gtm_state_destroy(void* state) {
   delete static_cast<gtcrn::StreamState*>(state);
 }
 
-void gtm_state_reset(void* state) {
+void gtm_state_reset(void* /*engine*/, void* state) {
   static_cast<gtcrn::StreamState*>(state)->Reset();
 }
 
@@ -43,6 +47,108 @@ void gtm_enhance(void* engine, const float* samples, int n, float* out) {
   std::vector<float> in(samples, samples + n);
   auto res = e->EnhanceWav(in);
   std::memcpy(out, res.data(), sizeof(float) * n);
+}
+
+// Batched serving: n streams, spec laid out [n][2][257] (re then im per
+// stream, matching gtm_step), states created by gtm_state_batch_create.
+void* gtm_state_batch_create(void* /*engine*/, int n) {
+  return new (std::nothrow) std::vector<gtcrn::StreamState>(n);
+}
+
+void gtm_state_batch_destroy(void* states) {
+  delete static_cast<std::vector<gtcrn::StreamState>*>(states);
+}
+
+void gtm_step_batch(void* engine, void* states, const float* spec, float* out,
+                    int n) {
+  auto* e = static_cast<gtcrn::Engine*>(engine);
+  auto* s = static_cast<std::vector<gtcrn::StreamState>*>(states);
+  // de-interleave [n][2][257] into [n][257] re / im planes
+  std::vector<float> re(n * 257), im(n * 257), ore(n * 257), oim(n * 257);
+  for (int i = 0; i < n; ++i) {
+    std::memcpy(re.data() + i * 257, spec + i * 514, 257 * sizeof(float));
+    std::memcpy(im.data() + i * 257, spec + i * 514 + 257,
+                257 * sizeof(float));
+  }
+  e->StepBatch(s->data(), re.data(), im.data(), ore.data(), oim.data(), n);
+  for (int i = 0; i < n; ++i) {
+    std::memcpy(out + i * 514, ore.data() + i * 257, 257 * sizeof(float));
+    std::memcpy(out + i * 514 + 257, oim.data() + i * 257,
+                257 * sizeof(float));
+  }
+}
+
+// ---- full-integer int8 engine (GTM8 artifact) ----
+
+void* gtm_qengine_create(const char* weights_path) {
+  try {
+    return new gtcrn::EngineQ(weights_path);
+  } catch (...) {
+    return nullptr;
+  }
+}
+
+void gtm_qengine_destroy(void* engine) {
+  delete static_cast<gtcrn::EngineQ*>(engine);
+}
+
+// int8 states need the engine: fresh rings hold the boundaries' zero points
+void* gtm_qstate_create(void* engine) {
+  auto* s = new (std::nothrow) gtcrn::StreamStateQ();
+  if (s && engine) static_cast<gtcrn::EngineQ*>(engine)->InitState(*s);
+  return s;
+}
+
+void gtm_qstate_destroy(void* state) {
+  delete static_cast<gtcrn::StreamStateQ*>(state);
+}
+
+void gtm_qstate_reset(void* engine, void* state) {
+  static_cast<gtcrn::EngineQ*>(engine)->InitState(
+      *static_cast<gtcrn::StreamStateQ*>(state));
+}
+
+void gtm_qstep(void* engine, void* state, const float* spec, float* out) {
+  auto* e = static_cast<gtcrn::EngineQ*>(engine);
+  auto* s = static_cast<gtcrn::StreamStateQ*>(state);
+  e->Step(*s, spec, spec + 257, out, out + 257);
+}
+
+void gtm_qenhance(void* engine, const float* samples, int n, float* out) {
+  auto* e = static_cast<gtcrn::EngineQ*>(engine);
+  std::vector<float> in(samples, samples + n);
+  auto res = e->EnhanceWav(in);
+  std::memcpy(out, res.data(), sizeof(float) * n);
+}
+
+void* gtm_qstate_batch_create(void* engine, int n) {
+  auto* v = new (std::nothrow) std::vector<gtcrn::StreamStateQ>(n);
+  if (v && engine) {
+    for (auto& s : *v) static_cast<gtcrn::EngineQ*>(engine)->InitState(s);
+  }
+  return v;
+}
+
+void gtm_qstate_batch_destroy(void* states) {
+  delete static_cast<std::vector<gtcrn::StreamStateQ>*>(states);
+}
+
+void gtm_qstep_batch(void* engine, void* states, const float* spec,
+                     float* out, int n) {
+  auto* e = static_cast<gtcrn::EngineQ*>(engine);
+  auto* s = static_cast<std::vector<gtcrn::StreamStateQ>*>(states);
+  std::vector<float> re(n * 257), im(n * 257), ore(n * 257), oim(n * 257);
+  for (int i = 0; i < n; ++i) {
+    std::memcpy(re.data() + i * 257, spec + i * 514, 257 * sizeof(float));
+    std::memcpy(im.data() + i * 257, spec + i * 514 + 257,
+                257 * sizeof(float));
+  }
+  e->StepBatch(s->data(), re.data(), im.data(), ore.data(), oim.data(), n);
+  for (int i = 0; i < n; ++i) {
+    std::memcpy(out + i * 514, ore.data() + i * 257, 257 * sizeof(float));
+    std::memcpy(out + i * 514 + 257, oim.data() + i * 257,
+                257 * sizeof(float));
+  }
 }
 
 }  // extern "C"

@@ -464,11 +464,16 @@ void Irfft512(const float* re, const float* im, float* out) {
 
 }  // namespace dsp
 
-std::vector<float> Engine::EnhanceWav(const std::vector<float>& samples) const {
+namespace dsp {
+
+std::vector<float> EnhanceOla(
+    const std::vector<float>& samples,
+    const std::function<void(const float*, const float*, float*, float*)>&
+        step) {
   const int n = static_cast<int>(samples.size());
   const int hop = 256, nfft = 512, pad = 256;
   if (n < 2) return samples;  // reflection undefined; nothing to enhance
-  auto win = dsp::SqrtHann512();
+  auto win = SqrtHann512();
 
   // center reflect pad (torch.stft center=True); iterate the reflection so
   // inputs shorter than the pad bounce correctly instead of clamping
@@ -483,16 +488,15 @@ std::vector<float> Engine::EnhanceWav(const std::vector<float>& samples) const {
   }
   const int frames = n / hop + 1;
 
-  StreamState st;
   std::vector<float> ola(n + 2 * pad + nfft, 0.f);
   std::vector<float> wsum(n + 2 * pad + nfft, 0.f);
   std::vector<float> fr(nfft), re(kFFull), im(kFFull), ore(kFFull),
       oim(kFFull), t512(nfft);
   for (int k = 0; k < frames; ++k) {
     for (int i = 0; i < nfft; ++i) fr[i] = x[k * hop + i] * win[i];
-    dsp::Fft512(fr.data(), re.data(), im.data());
-    Step(st, re.data(), im.data(), ore.data(), oim.data());
-    dsp::Irfft512(ore.data(), oim.data(), t512.data());
+    Fft512(fr.data(), re.data(), im.data());
+    step(re.data(), im.data(), ore.data(), oim.data());
+    Irfft512(ore.data(), oim.data(), t512.data());
     for (int i = 0; i < nfft; ++i) {
       ola[k * hop + i] += t512[i] * win[i];
       wsum[k * hop + i] += win[i] * win[i];
@@ -504,6 +508,28 @@ std::vector<float> Engine::EnhanceWav(const std::vector<float>& samples) const {
     out[i] = d > 1e-11f ? ola[i + pad] / d : 0.f;
   }
   return out;
+}
+
+}  // namespace dsp
+
+std::vector<float> Engine::EnhanceWav(const std::vector<float>& samples) const {
+  StreamState st;
+  return dsp::EnhanceOla(
+      samples, [&](const float* re, const float* im, float* ore, float* oim) {
+        Step(st, re, im, ore, oim);
+      });
+}
+
+void Engine::StepBatch(StreamState* states, const float* spec_re,
+                       const float* spec_im, float* out_re, float* out_im,
+                       int n) const {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (n > 1)
+#endif
+  for (int i = 0; i < n; ++i) {
+    Step(states[i], spec_re + i * kFFull, spec_im + i * kFFull,
+         out_re + i * kFFull, out_im + i * kFFull);
+  }
 }
 
 }  // namespace gtcrn

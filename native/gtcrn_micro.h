@@ -12,6 +12,7 @@
 
 #include <array>
 #include <cstdint>
+#include <functional>
 #include <string>
 #include <vector>
 
@@ -88,6 +89,13 @@ class Engine {
   void Step(StreamState& st, const float* spec_re, const float* spec_im,
             float* out_re, float* out_im) const;
 
+  // Batched serving: n independent streams, buffers laid out [n][257].
+  // (The reference's TFLM runner serves ONE stream per device; this is the
+  // multi-stream server API, parallelised across cores when OpenMP exists.)
+  void StepBatch(StreamState* states, const float* spec_re,
+                 const float* spec_im, float* out_re, float* out_im,
+                 int n) const;
+
   // Whole-utterance enhancement: 16 kHz samples in, same length out
   // (sqrt-Hann STFT 512/256, streaming steps, iSTFT overlap-add).
   std::vector<float> EnhanceWav(const std::vector<float>& samples) const;
@@ -96,11 +104,108 @@ class Engine {
   Weights w_;
 };
 
+// ---------------------------------------------------------------------------
+// Full-integer int8 engine (the reference's actual deployment format:
+// full-integer .tflite via onnx2tf -oiqt, scripts/onnx2tf.sh:50-64, executed
+// by the TFLM int8 interpreter on the ESP32-S3, esp32_s3/main/main.cc).
+//
+// Quantization scheme == gtcrn_micro_tpu/quant (TFLite-compatible):
+// per-out-channel symmetric int8 weights (BN-folded), per-tensor asymmetric
+// int8 activations at every conv/matmul boundary, int32 accumulation,
+// float rescale.  Ring buffers store int8: HALF the state memory of the
+// fp32 engine.  Artifact: io/export_native.py GTM8 format.
+// ---------------------------------------------------------------------------
+
+struct QTensor {
+  std::vector<uint32_t> dims;
+  std::vector<int8_t> data;
+  std::vector<float> scale;  // per out-channel
+};
+
+struct ActQ {  // activation qparams: x ~ (q - zero) * scale
+  float scale = 1.f;
+  int32_t zero = 0;
+};
+
+struct GTConvQ {
+  QTensor pw1_w, dw_w, pw2_w, tra_dw, tra_pw;
+  Tensor pw1_b, dw_b, pw2_b, tra_db, tra_pb;
+  float a1, a2;
+  ActQ pw1_in, dw_in, pw2_in, energy, gate_in;
+};
+
+struct TcnQ {
+  QTensor pw1_w, dw_w, pw3_w;
+  Tensor pw1_b, dw_b, pw3_b;
+  float a1, a2, a3;
+  ActQ pw1_in, dw_in, pw3_in;
+};
+
+struct ConvQ {
+  QTensor w;
+  Tensor b;
+  float a = 0.f;
+  ActQ in;
+};
+
+struct WeightsQ {
+  Tensor bm_w, bs_w;  // ERB filterbank stays fp32 (not a quant boundary)
+  QTensor sfe_w;
+  ActQ sfe_in;
+  ConvQ en0, en1, de3, de4;
+  std::array<GTConvQ, 3> enc;
+  std::array<GTConvQ, 3> dec;
+  std::array<TcnQ, 8> tcn;
+
+  static WeightsQ Load(const std::string& path);  // throws on error
+};
+
+// int8 ring-buffer state: same inventory as StreamState, half the bytes.
+// Fresh rings must hold each boundary's ZERO POINT (a float 0 quantizes to
+// q == zero, not q == 0), so initialisation needs the engine:
+// EngineQ::InitState.  The default constructor leaves rings at raw 0 --
+// always pass states through InitState/engine reset before stepping.
+struct StreamStateQ {
+  std::array<std::vector<int8_t>, 6> dw_ring;   // enc0..2, dec0..2
+  std::array<std::vector<int8_t>, 6> tra_ring;  // quantized energy frames
+  std::array<std::vector<int8_t>, 8> tcn_ring;
+  int t = 0;
+
+  StreamStateQ();
+};
+
+class EngineQ {
+ public:
+  explicit EngineQ(const std::string& weights_path)
+      : w_(WeightsQ::Load(weights_path)) {}
+  explicit EngineQ(WeightsQ w) : w_(std::move(w)) {}
+
+  // Fill rings with the respective boundaries' zero points (== float 0).
+  void InitState(StreamStateQ& st) const;
+
+  void Step(StreamStateQ& st, const float* spec_re, const float* spec_im,
+            float* out_re, float* out_im) const;
+  void StepBatch(StreamStateQ* states, const float* spec_re,
+                 const float* spec_im, float* out_re, float* out_im,
+                 int n) const;
+  std::vector<float> EnhanceWav(const std::vector<float>& samples) const;
+
+ private:
+  WeightsQ w_;
+};
+
 // torch-compatible sqrt-Hann STFT helpers (torch.stft center=true, reflect
 // pad; istft with synthesis-window-square normalization).
 namespace dsp {
 void Fft512(const float* re_in, float* re_out, float* im_out);  // real FFT
 std::vector<float> SqrtHann512();
+// whole-utterance STFT -> per-frame step -> iSTFT overlap-add, shared by the
+// fp32 and int8 engines.  step(spec_re, spec_im, out_re, out_im) advances
+// its own captured state.
+std::vector<float> EnhanceOla(
+    const std::vector<float>& samples,
+    const std::function<void(const float*, const float*, float*, float*)>&
+        step);
 }  // namespace dsp
 
 }  // namespace gtcrn

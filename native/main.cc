@@ -10,6 +10,7 @@
 #include <chrono>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <fstream>
 #include <memory>
@@ -93,28 +94,88 @@ bool WriteWav16(const char* path, const std::vector<float>& x, uint32_t fs) {
 
 }  // namespace
 
+// Multi-stream serving benchmark: n independent streams stepped through
+// StepBatch on zero spectra; reports us/frame/stream (the reference prints
+// one TFLM invoke time, esp32_s3/main/main.cc:150-160).
+template <typename EngineT, typename StateT>
+void InitStates(const EngineT&, std::vector<StateT>&) {}
+template <>
+void InitStates(const gtcrn::EngineQ& e,
+                std::vector<gtcrn::StreamStateQ>& v) {
+  for (auto& s : v) e.InitState(s);
+}
+
+template <typename EngineT, typename StateT>
+int RunBench(const char* weights, int n_streams, int frames) {
+  EngineT engine{std::string(weights)};
+  std::vector<StateT> states(n_streams);
+  InitStates(engine, states);
+  std::vector<float> re(n_streams * 257, 0.f), im(n_streams * 257, 0.f);
+  std::vector<float> ore(n_streams * 257), oim(n_streams * 257);
+  engine.StepBatch(states.data(), re.data(), im.data(), ore.data(),
+                   oim.data(), n_streams);  // warm-up
+  auto t0 = std::chrono::steady_clock::now();
+  for (int k = 0; k < frames; ++k) {
+    engine.StepBatch(states.data(), re.data(), im.data(), ore.data(),
+                     oim.data(), n_streams);
+  }
+  auto us = std::chrono::duration_cast<std::chrono::microseconds>(
+                std::chrono::steady_clock::now() - t0)
+                .count();
+  double per = static_cast<double>(us) / frames / n_streams;
+  std::printf("%d streams x %d frames: %.2f us/frame/stream\n", n_streams,
+              frames, per);
+  // one 256-sample hop = 16 ms of audio; capacity = how many streams fit
+  // in that budget at the measured per-stream cost
+  std::printf("real-time capacity: %.0f streams\n", 16000.0 / per);
+  return 0;
+}
+
 int main(int argc, char** argv) {
-  if (argc != 4) {
-    std::fprintf(stderr, "usage: %s <weights.bin> <in.wav> <out.wav>\n",
-                 argv[0]);
+  bool int8_mode = false;
+  int argi = 1;
+  if (argi < argc && !std::strcmp(argv[argi], "--int8")) {
+    int8_mode = true;
+    ++argi;
+  }
+  if (argi + 1 < argc && !std::strcmp(argv[argi], "--bench")) {
+    int n = argi + 2 < argc ? std::atoi(argv[argi + 2]) : 16;
+    if (int8_mode) {
+      return RunBench<gtcrn::EngineQ, gtcrn::StreamStateQ>(argv[argi + 1], n,
+                                                           200);
+    }
+    return RunBench<gtcrn::Engine, gtcrn::StreamState>(argv[argi + 1], n,
+                                                       200);
+  }
+  if (argc - argi != 3) {
+    std::fprintf(stderr,
+                 "usage: %s [--int8] <weights.bin> <in.wav> <out.wav>\n"
+                 "       %s [--int8] --bench <weights.bin> [n_streams]\n",
+                 argv[0], argv[0]);
     return 1;
   }
   std::vector<float> samples;
   uint32_t fs = 0;
-  if (!ReadWav16(argv[2], &samples, &fs) || fs != 16000) {
+  if (!ReadWav16(argv[argi + 1], &samples, &fs) || fs != 16000) {
     std::fprintf(stderr, "need 16-bit PCM 16 kHz wav\n");
     return 1;
   }
 
   std::unique_ptr<gtcrn::Engine> engine;
+  std::unique_ptr<gtcrn::EngineQ> engine_q;
   try {
-    engine = std::make_unique<gtcrn::Engine>(std::string(argv[1]));
+    if (int8_mode) {
+      engine_q = std::make_unique<gtcrn::EngineQ>(std::string(argv[argi]));
+    } else {
+      engine = std::make_unique<gtcrn::Engine>(std::string(argv[argi]));
+    }
   } catch (const std::exception& e) {
     std::fprintf(stderr, "failed to load weights: %s\n", e.what());
     return 1;
   }
   auto t0 = std::chrono::steady_clock::now();
-  auto out = engine->EnhanceWav(samples);
+  auto out = int8_mode ? engine_q->EnhanceWav(samples)
+                       : engine->EnhanceWav(samples);
   auto us = std::chrono::duration_cast<std::chrono::microseconds>(
                 std::chrono::steady_clock::now() - t0)
                 .count();
@@ -125,8 +186,8 @@ int main(int argc, char** argv) {
               static_cast<double>(us) / frames,
               (samples.size() / 16000.0) / (us / 1e6));
 
-  if (!WriteWav16(argv[3], out, fs)) {
-    std::fprintf(stderr, "cannot write %s\n", argv[3]);
+  if (!WriteWav16(argv[argi + 2], out, fs)) {
+    std::fprintf(stderr, "cannot write %s\n", argv[argi + 2]);
     return 1;
   }
   return 0;

@@ -86,3 +86,118 @@ def test_cli_roundtrip(native, tmp_path):
     assert "real-time" in res.stdout
     y, fs = read_wav(outp)
     assert fs == 16000 and len(y) == len(x)
+
+
+@pytest.fixture(scope="module")
+def native_int8(tmp_path_factory, native):
+    """GTM8 artifact + int8 engine + the JAX fake-quant oracle pieces."""
+    from gtcrn_micro_tpu.io.export_native import export_native_weights_int8
+    from gtcrn_micro_tpu.models.folding import fold_bn_params
+    from gtcrn_micro_tpu.quant.fake_quant import act_qparams
+    from gtcrn_micro_tpu.quant.ptq import observe_ranges
+    from gtcrn_micro_tpu.runtime.native import NativeEngine
+
+    model, params, _wpath, _eng = native
+    folded = fold_bn_params(params)
+    rng = np.random.default_rng(3)
+    calib = jnp.asarray(
+        rng.standard_normal((4, 257, 16, 2)).astype(np.float32) * 0.3
+    )
+    ranges = observe_ranges(model, folded, calib, batch_size=4)
+    act_qp = {
+        p: act_qparams(jnp.float32(lo), jnp.float32(hi), 8)
+        for p, (lo, hi) in ranges.items()
+    }
+    wpath8 = str(tmp_path_factory.mktemp("native8") / "weights_int8.bin")
+    n = export_native_weights_int8(folded, act_qp, wpath8)
+    assert n == 158
+    return model, folded, act_qp, wpath8, NativeEngine(wpath8, int8=True)
+
+
+def test_native_int8_matches_fake_quant_sim(native_int8):
+    """Full-integer native engine == the JAX int8 fake-quant simulation on
+    BN-folded params: the int8 artifact and the PTQ/QAT simulation are the
+    SAME quantization scheme (fold-then-quantize, per-channel weights,
+    per-tensor acts), so they must agree to float associativity."""
+    from gtcrn_micro_tpu.quant.ptq import QuantizedModel
+
+    model, folded, act_qp, _wpath8, eng8 = native_int8
+    qm = QuantizedModel(model=model, act_qp=act_qp)
+    rng = np.random.default_rng(4)
+    T = 20  # past the ring wrap
+    spec = rng.standard_normal((1, 257, T, 2)).astype(np.float32) * 0.3
+    state = qm.init_state(1)
+    eng8.reset()
+    errs, mags = [], []
+    for t in range(T):
+        y_jax, state = qm.step(folded, state, jnp.asarray(spec[:, :, t:t+1]))
+        y_nat = eng8.step(spec[0, :, t, :])
+        errs.append(np.abs(np.asarray(y_jax)[0, :, 0, :] - y_nat).max())
+        mags.append(np.abs(np.asarray(y_jax)).max())
+    assert max(errs) < 5e-4 * max(max(mags), 1.0), (errs, mags)
+
+
+def test_native_int8_enhance_runs(native_int8):
+    _m, _f, _q, _w, eng8 = native_int8
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    out = eng8.enhance(x)
+    assert out.shape == x.shape and np.isfinite(out).all()
+
+
+def test_step_batch_matches_sequential(native):
+    """Multi-stream serving API: StepBatch(n) == n independent engines."""
+    from gtcrn_micro_tpu.runtime.native import NativeEngine
+
+    _model, _params, wpath, _eng = native
+    rng = np.random.default_rng(6)
+    N, T = 3, 6
+    spec = rng.standard_normal((N, 257, T, 2)).astype(np.float32) * 0.3
+
+    batch_eng = NativeEngine(wpath)
+    singles = [NativeEngine(wpath) for _ in range(N)]
+    for t in range(T):
+        got = batch_eng.step_batch(spec[:, :, t, :])
+        for i in range(N):
+            want = singles[i].step(spec[i, :, t, :])
+            np.testing.assert_array_equal(got[i], want)
+
+
+def test_int8_step_batch_matches_sequential(native_int8):
+    from gtcrn_micro_tpu.runtime.native import NativeEngine
+
+    _m, _f, _q, wpath8, _eng8 = native_int8
+    rng = np.random.default_rng(7)
+    N, T = 2, 5
+    spec = rng.standard_normal((N, 257, T, 2)).astype(np.float32) * 0.3
+    batch_eng = NativeEngine(wpath8, int8=True)
+    singles = [NativeEngine(wpath8, int8=True) for _ in range(N)]
+    for t in range(T):
+        got = batch_eng.step_batch(spec[:, :, t, :])
+        for i in range(N):
+            np.testing.assert_array_equal(
+                got[i], singles[i].step(spec[i, :, t, :])
+            )
+
+
+def test_cli_int8_and_bench(native_int8, tmp_path):
+    from gtcrn_micro_tpu.io.wav import read_wav, write_wav
+    from gtcrn_micro_tpu.runtime.native import CLI_PATH
+
+    _m, _f, _q, wpath8, _eng8 = native_int8
+    rng = np.random.default_rng(8)
+    x = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    inp, outp = str(tmp_path / "in.wav"), str(tmp_path / "out.wav")
+    write_wav(inp, x, 16000)
+    res = subprocess.run(
+        [CLI_PATH, "--int8", wpath8, inp, outp], capture_output=True, text=True
+    )
+    assert res.returncode == 0, res.stderr
+    y, fs = read_wav(outp)
+    assert fs == 16000 and len(y) == len(x)
+    res = subprocess.run(
+        [CLI_PATH, "--int8", "--bench", wpath8, "4"],
+        capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr
+    assert "us/frame/stream" in res.stdout
