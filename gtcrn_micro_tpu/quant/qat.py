@@ -182,8 +182,11 @@ def main(args=None) -> None:
     if held_wav.ndim > 1:
         held_wav = held_wav[:, 0]
     held_target = enhance_fp32(model, params, held_wav)
-    seen_wav = noisy[0]
-    seen_target = target[0]
+    # full first training wav: comparable to EVAL.md's per-path table rows
+    seen_wav, _ = read_wav(train_paths[0])
+    if seen_wav.ndim > 1:
+        seen_wav = seen_wav[:, 0]
+    seen_target = enhance_fp32(model, params, seen_wav)
 
     before_held = quant_wav_snr(model, params, act_qp, held_wav, held_target)
     before_seen = quant_wav_snr(model, params, act_qp, seen_wav, seen_target)
