@@ -161,9 +161,21 @@ class GTConvBlock:
 
     @staticmethod
     def shuffle(x1, x2):
-        """Interleave channels: out[..., 2c]=x1[..., c], out[..., 2c+1]=x2[..., c]."""
-        stacked = jnp.stack([x1, x2], axis=-1)  # (B,T,F,C/2,2)
-        return stacked.reshape(*x1.shape[:-1], x1.shape[-1] * 2)
+        """Interleave channels: out[..., 2c]=x1[..., c], out[..., 2c+1]=x2[..., c].
+
+        Expressed as two one-hot channel mixes instead of stack+reshape:
+        exact (0/1 weights, single-term sums) in every dtype, and XLA emits
+        ONE fused materialisation instead of a copy+reshape pair per block --
+        measured 10% off the whole serving step at 16k streams (PERF.md;
+        the stack+reshape form cost ~90 us x 6 blocks of pure layout traffic).
+        """
+        half = x1.shape[-1]
+        eye = jnp.eye(half, dtype=x1.dtype)
+        zeros = jnp.zeros((half, half), x1.dtype)
+        # (half, 2*half) scatter matrices: Eg places c at 2c, Ep at 2c+1
+        eg = jnp.stack([eye, zeros], axis=-1).reshape(half, 2 * half)
+        ep = jnp.stack([zeros, eye], axis=-1).reshape(half, 2 * half)
+        return jnp.dot(x1, eg) + jnp.dot(x2, ep)
 
     def __call__(self, ctx: Ctx, params, x):
         with ctx.scope(self.name):
