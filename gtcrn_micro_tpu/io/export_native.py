@@ -110,12 +110,15 @@ def _quantize_per_channel(t: np.ndarray, axis: int):
 
 
 def export_native_weights_int8(params, act_qp: dict, path: str) -> int:
-    """Serialize the full-integer int8 artifact (GTM8).
+    """Serialize the full-integer quantized artifact (GTM8).
 
-    ``act_qp``: path -> QParams (from quant.ptq calibration, act_bits=8).
-    Weights are BN-folded THEN quantized per out-channel -- the TFLite fold-
-    then-quantize order, which is also what the native integer kernels
-    execute.  Returns the tensor count."""
+    ``act_qp``: path -> QParams from quant.ptq calibration -- ``act_bits=8``
+    yields the full-int8 artifact (the reference's deployment format),
+    ``act_bits=16`` the 16x8 mode (int16 activations / int8 weights,
+    TFLite's high-dynamic-range variant and the quality-viable quantized
+    mode for this model, EVAL.md).  Weights are BN-folded THEN quantized per
+    out-channel -- the TFLite fold-then-quantize order, which is also what
+    the native integer kernels execute.  Returns the tensor count."""
     from gtcrn_micro_tpu.ops.fused_step import pack_weights
 
     tensors = [np.asarray(w, np.float32) for w in pack_weights(params)]
@@ -125,6 +128,12 @@ def export_native_weights_int8(params, act_qp: dict, path: str) -> int:
     missing = [p for p in order if p not in act_qp]
     if missing:
         raise KeyError(f"act_qp missing paths: {missing[:3]}...")
+    qmaxes = {int(act_qp[p].qmax) for p in order}
+    assert qmaxes in ({127}, {32767}), (
+        f"mixed/unknown act qmax values {qmaxes}: GTM8 needs uniform "
+        "act_bits 8 or 16"
+    )
+    act_bits = 8 if qmaxes == {127} else 16
 
     with open(path, "wb") as f:
         f.write(struct.pack("<II", MAGIC_INT8, len(tensors)))
@@ -139,10 +148,9 @@ def export_native_weights_int8(params, act_qp: dict, path: str) -> int:
                 f.write(struct.pack("<II", 1, len(scale)))
                 f.write(scale.astype("<f4").tobytes())
                 f.write(q.tobytes())
-        f.write(struct.pack("<I", len(order)))
+        f.write(struct.pack("<II", act_bits, len(order)))
         for p in order:
             qp = act_qp[p]
-            assert int(qp.qmax) == 127, f"{p}: GTM8 requires act_bits=8"
             f.write(struct.pack("<fi", float(qp.scale), int(qp.zero)))
     return len(tensors)
 

@@ -48,16 +48,18 @@ def build_native(force: bool = False) -> str:
 class NativeEngine:
     """One engine + one stream state (use :meth:`step_batch` for servers).
 
-    ``int8=True`` loads a GTM8 full-integer artifact
-    (io/export_native.export_native_weights_int8) through the int8 engine --
-    the deployment format analog of the reference's int8 .tflite + TFLM
-    (esp32_s3/main/main.cc)."""
+    ``quant="int8"`` (or the legacy ``int8=True``) loads a GTM8 full-integer
+    artifact (io/export_native.export_native_weights_int8) through the int8
+    engine -- the deployment format analog of the reference's int8 .tflite +
+    TFLM (esp32_s3/main/main.cc).  ``quant="int16"`` selects the 16x8 engine
+    for an act_bits=16 artifact (int16 activations / int8 weights)."""
 
     def __init__(self, weights_path: str, lib_path: str | None = None,
-                 int8: bool = False):
+                 int8: bool = False, quant: str | None = None):
         lib_path = lib_path or build_native()
         self._lib = ctypes.CDLL(lib_path)
-        p = "gtm_q" if int8 else "gtm_"
+        quant = quant or ("int8" if int8 else None)
+        p = {None: "gtm_", "int8": "gtm_q", "int16": "gtm_q16"}[quant]
         self._fn = {
             name: getattr(self._lib, f"{p}{name}")
             for name in (

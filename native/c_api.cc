@@ -151,4 +151,76 @@ void gtm_qstep_batch(void* engine, void* states, const float* spec,
   }
 }
 
+// ---- 16x8 engine (int16 activations / int8 weights GTM8 artifact) ----
+
+void* gtm_q16engine_create(const char* weights_path) {
+  try {
+    return new gtcrn::EngineQ16(weights_path);
+  } catch (...) {
+    return nullptr;
+  }
+}
+
+void gtm_q16engine_destroy(void* engine) {
+  delete static_cast<gtcrn::EngineQ16*>(engine);
+}
+
+void* gtm_q16state_create(void* engine) {
+  auto* s = new (std::nothrow) gtcrn::StreamStateQ16();
+  if (s && engine) static_cast<gtcrn::EngineQ16*>(engine)->InitState(*s);
+  return s;
+}
+
+void gtm_q16state_destroy(void* state) {
+  delete static_cast<gtcrn::StreamStateQ16*>(state);
+}
+
+void gtm_q16state_reset(void* engine, void* state) {
+  static_cast<gtcrn::EngineQ16*>(engine)->InitState(
+      *static_cast<gtcrn::StreamStateQ16*>(state));
+}
+
+void gtm_q16step(void* engine, void* state, const float* spec, float* out) {
+  auto* e = static_cast<gtcrn::EngineQ16*>(engine);
+  auto* s = static_cast<gtcrn::StreamStateQ16*>(state);
+  e->Step(*s, spec, spec + 257, out, out + 257);
+}
+
+void gtm_q16enhance(void* engine, const float* samples, int n, float* out) {
+  auto* e = static_cast<gtcrn::EngineQ16*>(engine);
+  std::vector<float> in(samples, samples + n);
+  auto res = e->EnhanceWav(in);
+  std::memcpy(out, res.data(), sizeof(float) * n);
+}
+
+void* gtm_q16state_batch_create(void* engine, int n) {
+  auto* v = new (std::nothrow) std::vector<gtcrn::StreamStateQ16>(n);
+  if (v && engine) {
+    for (auto& s : *v) static_cast<gtcrn::EngineQ16*>(engine)->InitState(s);
+  }
+  return v;
+}
+
+void gtm_q16state_batch_destroy(void* states) {
+  delete static_cast<std::vector<gtcrn::StreamStateQ16>*>(states);
+}
+
+void gtm_q16step_batch(void* engine, void* states, const float* spec,
+                       float* out, int n) {
+  auto* e = static_cast<gtcrn::EngineQ16*>(engine);
+  auto* s = static_cast<std::vector<gtcrn::StreamStateQ16>*>(states);
+  std::vector<float> re(n * 257), im(n * 257), ore(n * 257), oim(n * 257);
+  for (int i = 0; i < n; ++i) {
+    std::memcpy(re.data() + i * 257, spec + i * 514, 257 * sizeof(float));
+    std::memcpy(im.data() + i * 257, spec + i * 514 + 257,
+                257 * sizeof(float));
+  }
+  e->StepBatch(s->data(), re.data(), im.data(), ore.data(), oim.data(), n);
+  for (int i = 0; i < n; ++i) {
+    std::memcpy(out + i * 514, ore.data() + i * 257, 257 * sizeof(float));
+    std::memcpy(out + i * 514 + 257, oim.data() + i * 257,
+                257 * sizeof(float));
+  }
+}
+
 }  // extern "C"

@@ -156,43 +156,63 @@ struct WeightsQ {
   std::array<GTConvQ, 3> enc;
   std::array<GTConvQ, 3> dec;
   std::array<TcnQ, 8> tcn;
+  uint32_t act_bits = 8;  // 8 = full-int8; 16 = TFLite-style 16x8 mode
 
   static WeightsQ Load(const std::string& path);  // throws on error
 };
 
-// int8 ring-buffer state: same inventory as StreamState, half the bytes.
+// Integer ring-buffer state: same inventory as StreamState, TAct-sized.
 // Fresh rings must hold each boundary's ZERO POINT (a float 0 quantizes to
 // q == zero, not q == 0), so initialisation needs the engine:
-// EngineQ::InitState.  The default constructor leaves rings at raw 0 --
+// EngineQT::InitState.  The default constructor leaves rings at raw 0 --
 // always pass states through InitState/engine reset before stepping.
-struct StreamStateQ {
-  std::array<std::vector<int8_t>, 6> dw_ring;   // enc0..2, dec0..2
-  std::array<std::vector<int8_t>, 6> tra_ring;  // quantized energy frames
-  std::array<std::vector<int8_t>, 8> tcn_ring;
+template <typename TAct>
+struct StreamStateQT {
+  std::array<std::vector<TAct>, 6> dw_ring;   // enc0..2, dec0..2
+  std::array<std::vector<TAct>, 6> tra_ring;  // quantized energy frames
+  std::array<std::vector<TAct>, 8> tcn_ring;
   int t = 0;
 
-  StreamStateQ();
+  StreamStateQT();
 };
 
-class EngineQ {
+// TAct = int8_t: the full-int8 artifact (the reference's deployment
+// format); TAct = int16_t: the 16x8 mode (int16 activations, int8 weights
+// -- TFLite's high-dynamic-range escape hatch, and the quality-viable
+// quantized mode for this model family: EVAL.md).
+template <typename TAct>
+class EngineQT {
  public:
-  explicit EngineQ(const std::string& weights_path)
-      : w_(WeightsQ::Load(weights_path)) {}
-  explicit EngineQ(WeightsQ w) : w_(std::move(w)) {}
+  explicit EngineQT(const std::string& weights_path)
+      : w_(WeightsQ::Load(weights_path)) {
+    CheckActBits();
+  }
+  explicit EngineQT(WeightsQ w) : w_(std::move(w)) { CheckActBits(); }
 
   // Fill rings with the respective boundaries' zero points (== float 0).
-  void InitState(StreamStateQ& st) const;
+  void InitState(StreamStateQT<TAct>& st) const;
 
-  void Step(StreamStateQ& st, const float* spec_re, const float* spec_im,
-            float* out_re, float* out_im) const;
-  void StepBatch(StreamStateQ* states, const float* spec_re,
+  void Step(StreamStateQT<TAct>& st, const float* spec_re,
+            const float* spec_im, float* out_re, float* out_im) const;
+  void StepBatch(StreamStateQT<TAct>* states, const float* spec_re,
                  const float* spec_im, float* out_re, float* out_im,
                  int n) const;
   std::vector<float> EnhanceWav(const std::vector<float>& samples) const;
 
  private:
+  void CheckActBits() const;
   WeightsQ w_;
 };
+
+using StreamStateQ = StreamStateQT<int8_t>;
+using StreamStateQ16 = StreamStateQT<int16_t>;
+using EngineQ = EngineQT<int8_t>;
+using EngineQ16 = EngineQT<int16_t>;
+
+extern template struct StreamStateQT<int8_t>;
+extern template struct StreamStateQT<int16_t>;
+extern template class EngineQT<int8_t>;
+extern template class EngineQT<int16_t>;
 
 // torch-compatible sqrt-Hann STFT helpers (torch.stft center=true, reflect
 // pad; istft with synthesis-window-square normalization).

@@ -1,11 +1,11 @@
-// GTCRN-Micro native full-integer int8 engine.
+// GTCRN-Micro native full-integer quantized engine (int8 and 16x8 modes).
 //
 // The deployment-format counterpart of the reference's int8 TFLite artifact
 // run by TFLM (reference scripts/onnx2tf.sh:50-64 -oiqt full-integer PTQ;
 // esp32_s3/main/main.cc int8 interpreter): per-out-channel symmetric int8
-// weights (BN folded), per-tensor asymmetric int8 activations, int32
-// accumulation, float rescale.  Ring buffers hold int8 -- half the state
-// bytes of the fp32 engine.
+// weights (BN folded), per-tensor asymmetric integer activations (int8 or,
+// in the 16x8 mode, int16 -- TFLite's high-dynamic-range variant), int32
+// accumulation, float rescale.  Ring buffers hold the activation type.
 //
 // Numerics mirror the JAX fake-quant simulation (gtcrn_micro_tpu/quant) on
 // BN-folded params exactly: dequant(q) = (q - z) * s, so an integer MAC
@@ -15,6 +15,7 @@
 #include <cmath>
 #include <cstring>
 #include <fstream>
+#include <limits>
 #include <stdexcept>
 
 #include "gtcrn_micro.h"
@@ -27,18 +28,21 @@ constexpr uint32_t kMagicQ = 0x47544D38;  // "GTM8"
 
 float Prelu(float x, float a) { return x > 0 ? x : a * x; }
 
-// quantize one activation value: round-half-away (matches jnp.round? no --
-// jnp.round is round-half-even).  Use nearbyint (banker's rounding) to match
-// the JAX simulation's jnp.round exactly.
-inline int8_t QuantAct(float x, const ActQ& q) {
+// quantize one activation value; nearbyint = round-half-even, matching the
+// JAX simulation's jnp.round exactly.
+template <typename TAct>
+inline TAct QuantAct(float x, const ActQ& q) {
+  constexpr float lo = static_cast<float>(std::numeric_limits<TAct>::min());
+  constexpr float hi = static_cast<float>(std::numeric_limits<TAct>::max());
   float v = std::nearbyint(x / q.scale) + static_cast<float>(q.zero);
-  if (v < -128.f) v = -128.f;
-  if (v > 127.f) v = 127.f;
-  return static_cast<int8_t>(v);
+  if (v < lo) v = lo;
+  if (v > hi) v = hi;
+  return static_cast<TAct>(v);
 }
 
-void QuantFrame(const float* x, int n, const ActQ& q, int8_t* out) {
-  for (int i = 0; i < n; ++i) out[i] = QuantAct(x[i], q);
+template <typename TAct>
+void QuantFrame(const float* x, int n, const ActQ& q, TAct* out) {
+  for (int i = 0; i < n; ++i) out[i] = QuantAct<TAct>(x[i], q);
 }
 
 // ---------------------------------------------------------------------------
@@ -134,11 +138,12 @@ TcnQ ReadTcnQ(Reader& r) {
 }
 
 // ---------------------------------------------------------------------------
-// integer compute helpers ([C][F] activations; q* buffers hold int8)
+// integer compute helpers ([C][F] activations; q* buffers hold TAct)
 // ---------------------------------------------------------------------------
 
 // pointwise channel mix on a quantized input: int32 MACs, float rescale
-void PwQ(const QTensor& w, const Tensor& b, const int8_t* qx, const ActQ& aq,
+template <typename TAct>
+void PwQ(const QTensor& w, const Tensor& b, const TAct* qx, const ActQ& aq,
          int ci_n, int f_n, float* out, int co_n) {
   for (int co = 0; co < co_n; ++co) {
     const float rescale = aq.scale * w.scale[co];
@@ -155,7 +160,8 @@ void PwQ(const QTensor& w, const Tensor& b, const int8_t* qx, const ActQ& aq,
 }
 
 // (1,5) freq conv stride 2 pad 2 + bias + PReLU, int8 weights (5, Co, Ci)
-void Conv5S2Q(const ConvQ& cw, const int8_t* qx, int ci_n, int f_in,
+template <typename TAct>
+void Conv5S2Q(const ConvQ& cw, const TAct* qx, int ci_n, int f_in,
               float* out, int co_n, int f_out) {
   const int8_t* w = cw.w.data.data();
   for (int co = 0; co < co_n; ++co) {
@@ -177,7 +183,8 @@ void Conv5S2Q(const ConvQ& cw, const int8_t* qx, int ci_n, int f_in,
 }
 
 // (1,5) transposed freq conv stride 2 pad 2, int8 weights (5, Co, Ci)
-void Deconv5Up2Q(const ConvQ& cw, const int8_t* qx, int ci_n, int f_in,
+template <typename TAct>
+void Deconv5Up2Q(const ConvQ& cw, const TAct* qx, int ci_n, int f_in,
                  float* out, int co_n, bool last_tanh) {
   const int f_out = 2 * f_in - 1;
   const int8_t* w = cw.w.data.data();
@@ -200,8 +207,9 @@ void Deconv5Up2Q(const ConvQ& cw, const int8_t* qx, int ci_n, int f_in,
   }
 }
 
-// depthwise 3-tap freq conv row kt of int8 (9, C, 1, 1); taps int8
-void DwFreq3AccQ(const QTensor& w9, int kt, const int8_t* tap, const ActQ& aq,
+// depthwise 3-tap freq conv row kt of int8 (9, C, 1, 1); taps TAct
+template <typename TAct>
+void DwFreq3AccQ(const QTensor& w9, int kt, const TAct* tap, const ActQ& aq,
                  int32_t* acc) {
   for (int c = 0; c < kC; ++c) {
     for (int f = 0; f < kFDown; ++f) {
@@ -218,7 +226,8 @@ void DwFreq3AccQ(const QTensor& w9, int kt, const int8_t* tap, const ActQ& aq,
 }
 
 // full 3-tap freq conv row kt of int8 (3, 3, Co, Ci); per-Co acc
-void FullFreq3AccQ(const QTensor& w, int kt, const int8_t* tap, const ActQ& aq,
+template <typename TAct>
+void FullFreq3AccQ(const QTensor& w, int kt, const TAct* tap, const ActQ& aq,
                    int32_t* acc) {
   for (int co = 0; co < kC; ++co) {
     for (int f = 0; f < kFDown; ++f) {
@@ -237,25 +246,26 @@ void FullFreq3AccQ(const QTensor& w, int kt, const int8_t* tap, const ActQ& aq,
   }
 }
 
-// GTConvBlock (int8): x [16][33] fp32 in place; int8 rings updated.
+// GTConvBlock: x [16][33] fp32 in place; integer rings updated.
+template <typename TAct>
 void GtconvStepQ(const GTConvQ& g, bool deconv, float* x,
-                 std::vector<int8_t>& dw_ring, std::vector<int8_t>& tra_ring,
+                 std::vector<TAct>& dw_ring, std::vector<TAct>& tra_ring,
                  int t) {
   const int frame = kC * kFDown;
   // pw1 on the active half (channels 0..8) + PReLU
-  int8_t qa[kH * kFDown];
+  TAct qa[kH * kFDown];
   QuantFrame(x, kH * kFDown, g.pw1_in, qa);
   float h[kC * kFDown];
   PwQ(g.pw1_w, g.pw1_b, qa, g.pw1_in, kH, kFDown, h, kC);
   for (int i = 0; i < frame; ++i) h[i] = Prelu(h[i], g.a1);
 
-  // depthwise over time: int8 ring taps + current quantized frame
-  int8_t qh[kC * kFDown];
+  // depthwise over time: integer ring taps + current quantized frame
+  TAct qh[kC * kFDown];
   QuantFrame(h, frame, g.dw_in, qh);
   int32_t acc[kC * kFDown];
   std::memset(acc, 0, sizeof(acc));
-  const int8_t* tap0 = dw_ring.data() + (t % 2) * frame;
-  const int8_t* tap1 = dw_ring.data() + ((t + 1) % 2) * frame;
+  const TAct* tap0 = dw_ring.data() + (t % 2) * frame;
+  const TAct* tap1 = dw_ring.data() + ((t + 1) % 2) * frame;
   if (deconv) {
     FullFreq3AccQ(g.dw_w, 0, tap0, g.dw_in, acc);
     FullFreq3AccQ(g.dw_w, 1, tap1, g.dw_in, acc);
@@ -265,7 +275,7 @@ void GtconvStepQ(const GTConvQ& g, bool deconv, float* x,
     DwFreq3AccQ(g.dw_w, 1, tap1, g.dw_in, acc);
     DwFreq3AccQ(g.dw_w, 2, qh, g.dw_in, acc);
   }
-  std::memcpy(dw_ring.data() + (t % 2) * frame, qh, frame);
+  std::memcpy(dw_ring.data() + (t % 2) * frame, qh, sizeof(qh));
   float y[kC * kFDown];
   for (int c = 0; c < kC; ++c) {
     const float rescale = g.dw_in.scale * g.dw_w.scale[c];
@@ -276,12 +286,12 @@ void GtconvStepQ(const GTConvQ& g, bool deconv, float* x,
     }
   }
 
-  int8_t qy[kC * kFDown];
+  TAct qy[kC * kFDown];
   QuantFrame(y, frame, g.pw2_in, qy);
   float h3[kH * kFDown];
   PwQ(g.pw2_w, g.pw2_b, qy, g.pw2_in, kC, kFDown, h3, kH);
 
-  // TRA gate: energy -> int8 causal depthwise k=3 -> int8 pointwise -> sigmoid
+  // TRA gate: energy -> integer causal depthwise k=3 -> pointwise -> sigmoid
   float e[kH];
   for (int c = 0; c < kH; ++c) {
     float s = 0.f;
@@ -289,10 +299,10 @@ void GtconvStepQ(const GTConvQ& g, bool deconv, float* x,
       s += h3[c * kFDown + f] * h3[c * kFDown + f];
     e[c] = s / kFDown;
   }
-  int8_t qe[kH];
+  TAct qe[kH];
   QuantFrame(e, kH, g.energy, qe);
-  const int8_t* e0 = tra_ring.data() + (t % 2) * kH;
-  const int8_t* e1 = tra_ring.data() + ((t + 1) % 2) * kH;
+  const TAct* e0 = tra_ring.data() + (t % 2) * kH;
+  const TAct* e1 = tra_ring.data() + ((t + 1) % 2) * kH;
   float yg[kH];
   for (int c = 0; c < kH; ++c) {
     int32_t acc_e =
@@ -305,8 +315,8 @@ void GtconvStepQ(const GTConvQ& g, bool deconv, float* x,
     yg[c] = g.tra_db.data[c] +
             g.energy.scale * g.tra_dw.scale[c] * static_cast<float>(acc_e);
   }
-  std::memcpy(tra_ring.data() + (t % 2) * kH, qe, kH);
-  int8_t qyg[kH];
+  std::memcpy(tra_ring.data() + (t % 2) * kH, qe, sizeof(qe));
+  TAct qyg[kH];
   QuantFrame(yg, kH, g.gate_in, qyg);
   float gate[kH];
   for (int c = 0; c < kH; ++c) {
@@ -331,21 +341,22 @@ void GtconvStepQ(const GTConvQ& g, bool deconv, float* x,
   std::memcpy(x, out, sizeof(out));
 }
 
-// Residual TCN block (int8), dilation d: x [16][33] fp32 in place.
-void TcnStepQ(const TcnQ& w, int d, float* x, std::vector<int8_t>& ring,
+// Residual TCN block, dilation d: x [16][33] fp32 in place.
+template <typename TAct>
+void TcnStepQ(const TcnQ& w, int d, float* x, std::vector<TAct>& ring,
               int t) {
   const int frame = kC * kFDown;
   const int L = 2 * d;
-  int8_t qx[kC * kFDown];
+  TAct qx[kC * kFDown];
   QuantFrame(x, frame, w.pw1_in, qx);
   float h[kC * kFDown];
   PwQ(w.pw1_w, w.pw1_b, qx, w.pw1_in, kC, kFDown, h, kC);
   for (int i = 0; i < frame; ++i) h[i] = Prelu(h[i], w.a1);
 
-  int8_t qh[kC * kFDown];
+  TAct qh[kC * kFDown];
   QuantFrame(h, frame, w.dw_in, qh);
-  const int8_t* tap0 = ring.data() + (t % L) * frame;        // x_{t-2d}
-  const int8_t* tap1 = ring.data() + ((t + d) % L) * frame;  // x_{t-d}
+  const TAct* tap0 = ring.data() + (t % L) * frame;        // x_{t-2d}
+  const TAct* tap1 = ring.data() + ((t + d) % L) * frame;  // x_{t-d}
   float y[kC * kFDown];
   for (int c = 0; c < kC; ++c) {
     const float rescale = w.dw_in.scale * w.dw_w.scale[c];
@@ -361,9 +372,9 @@ void TcnStepQ(const TcnQ& w, int d, float* x, std::vector<int8_t>& ring,
       y[i] = Prelu(w.dw_b.data[c] + rescale * static_cast<float>(acc), w.a2);
     }
   }
-  std::memcpy(ring.data() + (t % L) * frame, qh, frame);
+  std::memcpy(ring.data() + (t % L) * frame, qh, sizeof(qh));
 
-  int8_t qy[kC * kFDown];
+  TAct qy[kC * kFDown];
   QuantFrame(y, frame, w.pw3_in, qy);
   float h3[kC * kFDown];
   PwQ(w.pw3_w, w.pw3_b, qy, w.pw3_in, kC, kFDown, h3, kC);
@@ -401,7 +412,13 @@ WeightsQ WeightsQ::Load(const std::string& path) {
   w.de4.w = r.I8();
   w.de4.b = r.F32();
 
-  // activation qparams, traversal order (io/export_native.ACT_PATH_ORDER)
+  // activation qparams: bit width, then (scale, zero) in traversal order
+  // (io/export_native.act_path_order)
+  w.act_bits = r.Scalar<uint32_t>();
+  if (w.act_bits != 8 && w.act_bits != 16) {
+    throw std::runtime_error("GTM8: unsupported act_bits " +
+                             std::to_string(w.act_bits));
+  }
   uint32_t n_act = r.Scalar<uint32_t>();
   if (n_act != 59) {
     throw std::runtime_error("GTM8 has " + std::to_string(n_act) +
@@ -437,7 +454,8 @@ WeightsQ WeightsQ::Load(const std::string& path) {
   return w;
 }
 
-StreamStateQ::StreamStateQ() {
+template <typename TAct>
+StreamStateQT<TAct>::StreamStateQT() {
   for (auto& r : dw_ring) r.assign(2 * kC * kFDown, 0);
   for (auto& r : tra_ring) r.assign(2 * kH, 0);
   for (int i = 0; i < 8; ++i) {
@@ -447,23 +465,35 @@ StreamStateQ::StreamStateQ() {
   t = 0;
 }
 
-void EngineQ::InitState(StreamStateQ& st) const {
-  auto z8 = [](const ActQ& a) { return static_cast<int8_t>(a.zero); };
+template <typename TAct>
+void EngineQT<TAct>::CheckActBits() const {
+  if (w_.act_bits != 8 * sizeof(TAct)) {
+    throw std::runtime_error(
+        "GTM8 artifact has act_bits=" + std::to_string(w_.act_bits) +
+        "; this engine expects " + std::to_string(8 * sizeof(TAct)));
+  }
+}
+
+template <typename TAct>
+void EngineQT<TAct>::InitState(StreamStateQT<TAct>& st) const {
+  auto z = [](const ActQ& a) { return static_cast<TAct>(a.zero); };
   for (int i = 0; i < 3; ++i) {
-    st.dw_ring[i].assign(2 * kC * kFDown, z8(w_.enc[i].dw_in));
-    st.dw_ring[3 + i].assign(2 * kC * kFDown, z8(w_.dec[i].dw_in));
-    st.tra_ring[i].assign(2 * kH, z8(w_.enc[i].energy));
-    st.tra_ring[3 + i].assign(2 * kH, z8(w_.dec[i].energy));
+    st.dw_ring[i].assign(2 * kC * kFDown, z(w_.enc[i].dw_in));
+    st.dw_ring[3 + i].assign(2 * kC * kFDown, z(w_.dec[i].dw_in));
+    st.tra_ring[i].assign(2 * kH, z(w_.enc[i].energy));
+    st.tra_ring[3 + i].assign(2 * kH, z(w_.dec[i].energy));
   }
   for (int i = 0; i < 8; ++i) {
     int d = 1 << (i % 4);
-    st.tcn_ring[i].assign(2 * d * kC * kFDown, z8(w_.tcn[i].dw_in));
+    st.tcn_ring[i].assign(2 * d * kC * kFDown, z(w_.tcn[i].dw_in));
   }
   st.t = 0;
 }
 
-void EngineQ::Step(StreamStateQ& st, const float* spec_re,
-                   const float* spec_im, float* out_re, float* out_im) const {
+template <typename TAct>
+void EngineQT<TAct>::Step(StreamStateQT<TAct>& st, const float* spec_re,
+                          const float* spec_im, float* out_re,
+                          float* out_im) const {
   const int t = st.t;
 
   // feature stack [mag, re, im] -> ERB band merge (fp32: not a boundary)
@@ -488,8 +518,8 @@ void EngineQ::Step(StreamStateQ& st, const float* spec_re,
     }
   }
 
-  // SFE-Lite depthwise freq conv, int8 (per-channel scales over c)
-  int8_t qfeat[3 * kFErb];
+  // SFE-Lite depthwise freq conv (per-channel scales over c)
+  TAct qfeat[3 * kFErb];
   QuantFrame(&feat[0][0], 3 * kFErb, w_.sfe_in, qfeat);
   float x129[3 * kFErb];
   for (int c = 0; c < 3; ++c) {
@@ -507,11 +537,11 @@ void EngineQ::Step(StreamStateQ& st, const float* spec_re,
   }
 
   // encoder
-  int8_t q129[3 * kFErb];
+  TAct q129[3 * kFErb];
   QuantFrame(x129, 3 * kFErb, w_.en0.in, q129);
   float skip0[kC * 65], skip1[kC * kFDown];
   Conv5S2Q(w_.en0, q129, 3, kFErb, skip0, kC, 65);
-  int8_t q65[kC * 65];
+  TAct q65[kC * 65];
   QuantFrame(skip0, kC * 65, w_.en1.in, q65);
   Conv5S2Q(w_.en1, q65, kC, 65, skip1, kC, kFDown);
   float x[kC * kFDown];
@@ -533,12 +563,12 @@ void EngineQ::Step(StreamStateQ& st, const float* spec_re,
     GtconvStepQ(w_.dec[i], true, x, st.dw_ring[3 + i], st.tra_ring[3 + i], t);
   }
   for (int j = 0; j < kC * kFDown; ++j) x[j] += skip1[j];
-  int8_t q33[kC * kFDown];
+  TAct q33[kC * kFDown];
   QuantFrame(x, kC * kFDown, w_.de3.in, q33);
   float x65[kC * 65];
   Deconv5Up2Q(w_.de3, q33, kC, kFDown, x65, kC, /*last_tanh=*/false);
   for (int j = 0; j < kC * 65; ++j) x65[j] += skip0[j];
-  int8_t qx65[kC * 65];
+  TAct qx65[kC * 65];
   QuantFrame(x65, kC * 65, w_.de4.in, qx65);
   float m129[2 * kFErb];
   Deconv5Up2Q(w_.de4, qx65, kC, 65, m129, 2, /*last_tanh=*/true);
@@ -563,9 +593,10 @@ void EngineQ::Step(StreamStateQ& st, const float* spec_re,
   st.t = (t + 1) & 15;
 }
 
-void EngineQ::StepBatch(StreamStateQ* states, const float* spec_re,
-                        const float* spec_im, float* out_re, float* out_im,
-                        int n) const {
+template <typename TAct>
+void EngineQT<TAct>::StepBatch(StreamStateQT<TAct>* states,
+                               const float* spec_re, const float* spec_im,
+                               float* out_re, float* out_im, int n) const {
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static) if (n > 1)
 #endif
@@ -575,14 +606,20 @@ void EngineQ::StepBatch(StreamStateQ* states, const float* spec_re,
   }
 }
 
-std::vector<float> EngineQ::EnhanceWav(
+template <typename TAct>
+std::vector<float> EngineQT<TAct>::EnhanceWav(
     const std::vector<float>& samples) const {
-  StreamStateQ st;
+  StreamStateQT<TAct> st;
   InitState(st);
   return dsp::EnhanceOla(
       samples, [&](const float* re, const float* im, float* ore, float* oim) {
         Step(st, re, im, ore, oim);
       });
 }
+
+template struct StreamStateQT<int8_t>;
+template struct StreamStateQT<int16_t>;
+template class EngineQT<int8_t>;
+template class EngineQT<int16_t>;
 
 }  // namespace gtcrn

@@ -132,25 +132,32 @@ int RunBench(const char* weights, int n_streams, int frames) {
 }
 
 int main(int argc, char** argv) {
-  bool int8_mode = false;
+  int quant = 0;  // 0 = fp32, 8 = int8, 16 = 16x8
   int argi = 1;
   if (argi < argc && !std::strcmp(argv[argi], "--int8")) {
-    int8_mode = true;
+    quant = 8;
+    ++argi;
+  } else if (argi < argc && !std::strcmp(argv[argi], "--int16")) {
+    quant = 16;
     ++argi;
   }
   if (argi + 1 < argc && !std::strcmp(argv[argi], "--bench")) {
     int n = argi + 2 < argc ? std::atoi(argv[argi + 2]) : 16;
-    if (int8_mode) {
+    if (quant == 8) {
       return RunBench<gtcrn::EngineQ, gtcrn::StreamStateQ>(argv[argi + 1], n,
                                                            200);
+    }
+    if (quant == 16) {
+      return RunBench<gtcrn::EngineQ16, gtcrn::StreamStateQ16>(argv[argi + 1],
+                                                               n, 200);
     }
     return RunBench<gtcrn::Engine, gtcrn::StreamState>(argv[argi + 1], n,
                                                        200);
   }
   if (argc - argi != 3) {
     std::fprintf(stderr,
-                 "usage: %s [--int8] <weights.bin> <in.wav> <out.wav>\n"
-                 "       %s [--int8] --bench <weights.bin> [n_streams]\n",
+                 "usage: %s [--int8|--int16] <weights.bin> <in.wav> <out.wav>\n"
+                 "       %s [--int8|--int16] --bench <weights.bin> [n]\n",
                  argv[0], argv[0]);
     return 1;
   }
@@ -163,9 +170,12 @@ int main(int argc, char** argv) {
 
   std::unique_ptr<gtcrn::Engine> engine;
   std::unique_ptr<gtcrn::EngineQ> engine_q;
+  std::unique_ptr<gtcrn::EngineQ16> engine_q16;
   try {
-    if (int8_mode) {
+    if (quant == 8) {
       engine_q = std::make_unique<gtcrn::EngineQ>(std::string(argv[argi]));
+    } else if (quant == 16) {
+      engine_q16 = std::make_unique<gtcrn::EngineQ16>(std::string(argv[argi]));
     } else {
       engine = std::make_unique<gtcrn::Engine>(std::string(argv[argi]));
     }
@@ -174,8 +184,9 @@ int main(int argc, char** argv) {
     return 1;
   }
   auto t0 = std::chrono::steady_clock::now();
-  auto out = int8_mode ? engine_q->EnhanceWav(samples)
-                       : engine->EnhanceWav(samples);
+  auto out = quant == 8    ? engine_q->EnhanceWav(samples)
+             : quant == 16 ? engine_q16->EnhanceWav(samples)
+                           : engine->EnhanceWav(samples);
   auto us = std::chrono::duration_cast<std::chrono::microseconds>(
                 std::chrono::steady_clock::now() - t0)
                 .count();
