@@ -1,8 +1,9 @@
 #!/bin/bash
 # End-to-end smoke of every CLI surface on synthetic data (~10 min with a
 # warm compile cache).  Exercises: data gen -> train -> resume -> infer
-# (fp32 + int8) -> intrusive eval -> export -> native build + CLI -> bench
-# helpers.  Exits non-zero on the first failure.
+# (fp32 + int8) -> intrusive eval -> export (stablehlo + onnx + native,
+# GTM8 int8/16x8) -> native build + fp32/int8/16x8/bench CLIs -> driver
+# entry.  Exits non-zero on the first failure.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -31,10 +32,49 @@ test -f "$SMOKE/enhanced/RESULTS_intrusive/RESULTS.txt"
 python -m gtcrn_micro_tpu.io.export_stablehlo \
   --checkpoint "$EXP/checkpoints/best" --out_dir "$SMOKE/export" --frames 8
 test -f "$SMOKE/export/gtcrn_micro_weights.bin"
+test -f "$SMOKE/export/gtcrn_micro.onnx"
+test -f "$SMOKE/export/gtcrn_micro_stream.onnx"
+
+python - <<PY
+# emitted ONNX re-executes through the in-repo interpreter
+import numpy as np
+from gtcrn_micro_tpu.io.onnx import OnnxModel
+om = OnnxModel("$SMOKE/export/gtcrn_micro.onnx")
+out = om(np.zeros((1, 257, 8, 2), np.float32))[0]
+assert out.shape == (1, 257, 8, 2) and np.isfinite(out).all()
+print("onnx round-trip ok")
+PY
+
+python - <<PY
+# quantized GTM8 artifacts (int8 + 16x8) from the smoke checkpoint
+import numpy as np, jax.numpy as jnp
+from gtcrn_micro_tpu.eval.infer import load_params
+from gtcrn_micro_tpu.models import GTCRNMicro
+from gtcrn_micro_tpu.models.folding import fold_bn_params
+from gtcrn_micro_tpu.quant.fake_quant import act_qparams
+from gtcrn_micro_tpu.quant.ptq import observe_ranges
+from gtcrn_micro_tpu.quant.calibration import calibration_specs
+from gtcrn_micro_tpu.io.export_native import export_native_weights_int8
+model = GTCRNMicro()
+folded = fold_bn_params(load_params("$EXP/checkpoints/best"))
+calib = jnp.asarray(calibration_specs("$SMOKE/val/noisy", n_wavs=4, max_frames=64))
+ranges = observe_ranges(model, folded, calib, batch_size=4)
+for bits, name in ((8, "w_int8.bin"), (16, "w_16x8.bin")):
+    qp = {p: act_qparams(jnp.float32(lo), jnp.float32(hi), bits)
+          for p, (lo, hi) in ranges.items()}
+    export_native_weights_int8(folded, qp, f"$SMOKE/export/{name}")
+print("GTM8 artifacts ok")
+PY
 
 bash scripts/build_native.sh
+NOISY="$SMOKE/val/noisy/$(ls $SMOKE/val/noisy | head -1)"
 ./native/build/gtcrn_stream "$SMOKE/export/gtcrn_micro_weights.bin" \
-  "$SMOKE/val/noisy/$(ls $SMOKE/val/noisy | head -1)" "$SMOKE/native_out.wav"
+  "$NOISY" "$SMOKE/native_out.wav"
+./native/build/gtcrn_stream --int8 "$SMOKE/export/w_int8.bin" \
+  "$NOISY" "$SMOKE/native_out_int8.wav"
+./native/build/gtcrn_stream --int16 "$SMOKE/export/w_16x8.bin" \
+  "$NOISY" "$SMOKE/native_out_16x8.wav"
+./native/build/gtcrn_stream --bench "$SMOKE/export/gtcrn_micro_weights.bin" 4
 
 python -m gtcrn_micro_tpu.utils.complexity
 python __graft_entry__.py 8
