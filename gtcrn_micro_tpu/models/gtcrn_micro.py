@@ -144,7 +144,7 @@ class GTCRNMicro:
 
     def init_state(
         self, batch: int, dtype=jnp.float32, ring: bool = True,
-        packed: bool = False,
+        packed: bool = False, rot: bool = False,
     ) -> dict:
         """Zeroed streaming caches (flat dict path->array), batched over
         ``batch`` concurrent streams.
@@ -159,11 +159,19 @@ class GTCRNMicro:
         geometry) live in one ``(L, n, B, *geom)`` buffer; a step issues 2
         batched tap reads + 1 batched write per group instead of per-layer
         slices -- same bytes, ~4x fewer state kernels.
+
+        ``rot=True`` (serving, T==1): each cache is L separate one-frame
+        entries shifted by identity outputs -- no step counter, no dynamic
+        indexing; with donated state XLA's parameter-passthrough aliasing
+        turns the shift into buffer swaps.
         """
         cfg = self.config
+        if rot:
+            ring = packed = False
 
         def trace(params, spec):
-            ctx = Ctx(state={}, initializing=True, ring=ring, packed=packed)
+            ctx = Ctx(state={}, initializing=True, ring=ring, packed=packed,
+                      rot=rot)
             self._forward(params, spec, ctx)
             if packed:
                 ctx.flush_rings()
@@ -186,11 +194,13 @@ class GTCRNMicro:
 
     def step(self, params, state: dict, spec: jax.Array):
         """One streaming step over a chunk: spec (B, F, T_chunk, 2) ->
-        (enhanced (B, F, T_chunk, 2), new_state).  With ring state (default)
+        (enhanced (B, F, T_chunk, 2), new_state).  With ring or rot state
         T_chunk must be 1; with shift state any static chunk size works."""
         ring = "step" in state
         packed = any(k.startswith("rpack/") for k in state)
-        ctx = Ctx(state=state, ring=ring, packed=packed, step=state.get("step"))
+        rot = any(k.endswith("/rot0") for k in state)
+        ctx = Ctx(state=state, ring=ring, packed=packed, rot=rot,
+                  step=state.get("step"))
         out = self._forward(params, spec, ctx)
         if packed:
             ctx.flush_rings()

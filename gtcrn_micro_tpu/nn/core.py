@@ -67,6 +67,7 @@ class Ctx:
         initializing: bool = False,
         ring: bool = False,
         packed: bool = False,
+        rot: bool = False,
         step: Any = None,
     ):
         self.training = training
@@ -81,6 +82,13 @@ class Ctx:
         # ring lengths are powers of two <= 16, so ``step`` wraps mod 16.
         self.ring = ring
         self.step = step
+        # Rotation mode (serving, T==1, opt-in): each temporal cache is L
+        # SEPARATE state entries rot0..rot{L-1} (rot_i = frame t-1-i); a step
+        # reads its taps as plain dict lookups and "shifts" by emitting
+        # identity outputs (rot_i' = rot_{i-1}).  No step counter, no
+        # dynamic_slice, no dynamic_update_slice: with donated state, XLA's
+        # parameter-passthrough aliasing makes the shift a buffer swap.
+        self.rot = rot
         # Packed rings (serving fast path, opt-in): all rings sharing the
         # same (length, frame-geometry) live in ONE (L, n, B, *geom) buffer.
         # Every ring layer here taps at offsets {0, d} with d = L/2, so a
@@ -423,8 +431,43 @@ class CausalConv2d:
             out = out + params["b"]
         return out
 
+    def _rot_call(self, ctx: Ctx, params, x):
+        """Rotation streaming step (T==1): taps are plain state entries
+        (rot_i = x_{t-1-i}); the shift is identity outputs that alias donated
+        input buffers -- ZERO dynamic indexing and zero state data movement
+        when XLA passes the buffers through."""
+        kT = self.kernel[0]
+        d = self.dilation[0]
+        L = self.time_context  # (kT-1)*d
+        assert x.shape[1] == 1, "rot mode is the T==1 serving path"
+        with ctx.scope(self.name):
+            w = params["w"]
+            if not ctx.initializing and ctx.quant is not None:
+                x = ctx.quant.act(ctx, "in", x)
+                w = ctx.quant.weight(ctx, "w", w, 3)
+            if ctx.initializing:
+                for i in range(L):
+                    ctx.put_state(f"rot{i}", jnp.zeros_like(x))
+                return jnp.zeros_like(x[:, :1])  # shape proxy, unused
+            out = self._freq_conv(w[kT - 1 : kT], x)
+            for j in range(kT - 1):
+                # tap j applies w[j] to x_{t-(kT-1-j)d} = rot_{(kT-1-j)d-1}
+                tap = ctx.get_state(f"rot{(kT - 1 - j) * d - 1}")
+                out = out + self._freq_conv(w[j : j + 1], tap)
+            ctx.put_state("rot0", x)
+            for i in range(1, L):
+                ctx.put_state(f"rot{i}", ctx.get_state(f"rot{i - 1}"))
+        if self.bias:
+            out = out + params["b"]
+        return out
+
     def __call__(self, ctx: Ctx, params, x):
         L = self.time_context
+        if L > 0 and ctx.streaming and ctx.rot:
+            if ctx.initializing:
+                self._rot_call(ctx, params, x)  # register state only
+            else:
+                return self._rot_call(ctx, params, x)
         if L > 0 and ctx.streaming and ctx.ring:
             if ctx.initializing:
                 self._ring_call(ctx, params, x)  # register state only
@@ -432,7 +475,7 @@ class CausalConv2d:
             else:
                 return self._ring_call(ctx, params, x)
         if L > 0:
-            if ctx.streaming and not ctx.ring:
+            if ctx.streaming and not ctx.ring and not ctx.rot:
                 with ctx.scope(self.name):
                     if ctx.initializing:
                         cache = jnp.zeros(
@@ -577,17 +620,47 @@ class TRALite:
             )
         return x * g[:, :, None, :]
 
+    def _rot_call(self, ctx: Ctx, params, x, e):
+        """Rotation step (T==1): energy taps as plain state entries."""
+        with ctx.scope(self.name):
+            depth_w, point_w = params["depth_w"], params["point_w"]
+            if ctx.quant is not None:
+                e = ctx.quant.act(ctx, "energy", e)
+                depth_w = ctx.quant.weight(ctx, "depth_w", depth_w, 1)
+            # rot_i = e_{t-1-i}; kernel tap j weights e_{t-(k-1-j)}
+            y = params["depth_b"] + e[:, 0] * depth_w[self.kernel - 1]
+            for j in range(self.kernel - 1):
+                tap = ctx.get_state(f"rot{self.kernel - 2 - j}")
+                y = y + tap[:, 0] * depth_w[j]
+            ctx.put_state("rot0", e)
+            for i in range(1, self.time_context):
+                ctx.put_state(f"rot{i}", ctx.get_state(f"rot{i - 1}"))
+            y = y[:, None]  # (B, 1, C)
+            if ctx.quant is not None:
+                y = ctx.quant.act(ctx, "gate_in", y)
+                point_w = ctx.quant.weight(ctx, "point_w", point_w, 1)
+            g = jax.nn.sigmoid(
+                jnp.dot(y, point_w, precision=PRECISION) + params["point_b"]
+            )
+        return x * g[:, :, None, :]
+
     def __call__(self, ctx: Ctx, params, x):
         """x: (B, T, F, C) -> gated x, same shape."""
         e = jnp.mean(x * x, axis=2)  # (B, T, C)
         L = self.time_context
-        if L > 0 and ctx.streaming and ctx.ring and not ctx.initializing:
-            return self._ring_call(ctx, params, x, e)
+        if L > 0 and ctx.streaming and not ctx.initializing:
+            if ctx.rot:
+                return self._rot_call(ctx, params, x, e)
+            if ctx.ring:
+                return self._ring_call(ctx, params, x, e)
         if L > 0:
             if ctx.streaming:
                 with ctx.scope(self.name):
                     if ctx.initializing:
-                        if ctx.ring and ctx.packed:
+                        if ctx.rot:
+                            for i in range(L):
+                                ctx.put_state(f"rot{i}", jnp.zeros_like(e))
+                        elif ctx.ring and ctx.packed:
                             ctx.ring_io(L, [], e[:, 0])  # register slot order
                         else:
                             cache = jnp.zeros(

@@ -175,3 +175,25 @@ def test_bn_folding_equivalence(model, params):
     ref = model.apply(params, spec)
     out = model.apply(folded, spec)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_rot_streaming_matches_offline():
+    """Rotation-cache mode (init_state(rot=True)): static shift-register
+    entries, no step counter or dynamic indexing -- must equal offline
+    exactly, like the ring and shift modes."""
+    model = GTCRNMicro()
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    T = 20
+    spec = rng.standard_normal((1, 257, T, 2)).astype(np.float32) * 0.3
+    offline = np.asarray(model.apply_jit(params, jnp.asarray(spec)))
+    state = model.init_state(1, rot=True)
+    assert "step" not in state
+    assert any(k.endswith("/rot0") for k in state)
+    step = jax.jit(model.step)
+    outs = []
+    for t in range(T):
+        y, state = step(params, state, jnp.asarray(spec[:, :, t : t + 1]))
+        outs.append(np.asarray(y))
+    stream = np.concatenate(outs, axis=2)
+    np.testing.assert_allclose(stream, offline, atol=1e-6)
