@@ -152,3 +152,49 @@ def test_qat_improves_post_quant_loss(setup):
         np.asarray(p["encoder"]["en0"]["bn"]["running_mean"]),
         np.asarray(params["encoder"]["en0"]["bn"]["running_mean"]),
     )
+
+
+def test_qat_pipeline_functions(tmp_path, setup):
+    """quant/qat.py building blocks on synthetic wavs: corpus pairing,
+    calibration, a fine-tune step, and the quality probe."""
+    from gtcrn_micro_tpu.io.wav import write_wav
+    from gtcrn_micro_tpu.quant.qat import (
+        build_distill_corpus,
+        calibrate_act_qparams,
+        enhance_fp32,
+        qat_finetune,
+        quant_wav_snr,
+    )
+
+    model, params, _calib = setup
+    rng = np.random.default_rng(11)
+    paths = []
+    for i in range(2):
+        wav = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+        p = str(tmp_path / f"n{i}.wav")
+        write_wav(p, wav, 16000)
+        paths.append(p)
+
+    noisy, target = build_distill_corpus(model, params, paths,
+                                         segment_seconds=1.0)
+    assert noisy.shape == target.shape == (4, 16000)
+    # targets really are the fp32 model's own output per segment
+    w0 = enhance_fp32(model, params, noisy[0])
+    # (segment target comes from the full-wav enhancement; ends may differ
+    # by edge effects, interiors must agree)
+    np.testing.assert_allclose(target[0][2048:-2048], w0[2048:-2048],
+                               atol=2e-3)
+
+    act_qp = calibrate_act_qparams(model, params, noisy, act_bits=8)
+    assert len(act_qp) == 59
+
+    before = quant_wav_snr(model, params, act_qp, noisy[0], target[0])
+    assert np.isfinite(before)
+
+    qat_params, losses = qat_finetune(
+        model, params, noisy, target, act_qp,
+        steps=2, batch_size=2, max_lr=1e-4, log_every=0,
+    )
+    assert len(losses) == 2 and np.isfinite(losses).all()
+    after = quant_wav_snr(model, qat_params, act_qp, noisy[0], target[0])
+    assert np.isfinite(after)
