@@ -90,12 +90,17 @@ class GTCRNMicro:
         real = spec_btf[..., 0]
         imag = spec_btf[..., 1]
         mag = jnp.sqrt(real * real + imag * imag + 1e-12)
-        feat = jnp.stack([mag, real, imag], axis=-1)  # (B,T,F,3)
 
-        # ERB band merge over the freq axis (axis=-2 in NHWC)
-        feat = jnp.swapaxes(feat, -1, -2)  # (B,T,3,F)
-        feat = self.erb.bm(params["erb"], feat)
-        feat = jnp.swapaxes(feat, -1, -2)  # (B,T,129,3)
+        # ERB band merge per feature plane: each of mag/real/imag is a
+        # (B,T,F) array, so the merge is a contraction on the MINOR axis
+        # (clean MXU dot) followed by ONE channel stack.  Equivalent to the
+        # reference's stack->transpose->matmul->transpose chain
+        # (gtcrn_micro.py:512-517) minus two F-sized transposes per step --
+        # the largest pure-layout materialisations in the serving path.
+        erb_p = params["erb"]
+        feat = jnp.stack(
+            [self.erb.bm(erb_p, c) for c in (mag, real, imag)], axis=-1
+        )  # (B,T,129,3)
 
         feat = self.sfe(ctx, params["sfe"], feat)
         feat, en_outs = self.encoder(ctx, params["encoder"], feat)
@@ -103,12 +108,11 @@ class GTCRNMicro:
         feat = self.gtcn2(ctx, params["gtcn2"], feat)
         m_feat = self.decoder(ctx, params["decoder"], feat, en_outs)
 
-        m_feat = jnp.swapaxes(m_feat, -1, -2)  # (B,T,2,129)
-        m = self.erb.bs(params["erb"], m_feat)  # (B,T,2,257)
-        m = jnp.swapaxes(m, -1, -2)  # (B,T,257,2)
+        # ERB band split per mask plane (transpose-free, as above)
+        m_r = self.erb.bs(erb_p, m_feat[..., 0])  # (B,T,257)
+        m_i = self.erb.bs(erb_p, m_feat[..., 1])
 
         # complex ratio mask (reference :472-482)
-        m_r, m_i = m[..., 0], m[..., 1]
         s_real = real * m_r - imag * m_i
         s_imag = imag * m_r + real * m_i
         out = jnp.stack([s_real, s_imag], axis=-1)  # (B,T,F,2)
@@ -144,37 +148,24 @@ class GTCRNMicro:
 
     def init_state(
         self, batch: int, dtype=jnp.float32, ring: bool = True,
-        packed: bool = False, rot: bool = False,
     ) -> dict:
         """Zeroed streaming caches (flat dict path->array), batched over
         ``batch`` concurrent streams.
 
         ``ring=True`` (default, serving fast path): caches are ring buffers
-        plus a global ``step`` counter; each step writes ONE frame per cache
-        instead of shifting the whole window -- O(1) state traffic.  Requires
-        T==1 steps.  ``ring=False``: shift-based caches (any chunk size; the
-        oracle path for tests).
-
-        ``packed=True`` (serving, implies ring): rings sharing a (length,
-        geometry) live in one ``(L, n, B, *geom)`` buffer; a step issues 2
-        batched tap reads + 1 batched write per group instead of per-layer
-        slices -- same bytes, ~4x fewer state kernels.
-
-        ``rot=True`` (serving, T==1): each cache is L separate one-frame
-        entries shifted by identity outputs -- no step counter, no dynamic
-        indexing; with donated state XLA's parameter-passthrough aliasing
-        turns the shift into buffer swaps.
+        plus a global ``step`` counter; a step over a T-frame chunk writes T
+        frames per cache instead of shifting whole windows -- O(chunk) state
+        traffic.  T must be a power of two <= 16 and stay the SAME for the
+        lifetime of a state (the all-zeros init is valid for any T; the ring
+        slot layout differs between chunk sizes after the first step).
+        ``ring=False``: shift-based caches (any chunk size; the oracle path
+        for tests).
         """
         cfg = self.config
-        if rot:
-            ring = packed = False
 
         def trace(params, spec):
-            ctx = Ctx(state={}, initializing=True, ring=ring, packed=packed,
-                      rot=rot)
+            ctx = Ctx(state={}, initializing=True, ring=ring)
             self._forward(params, spec, ctx)
-            if packed:
-                ctx.flush_rings()
             return ctx.new_state
 
         params_shape = jax.eval_shape(lambda: self.init(jax.random.PRNGKey(0)))
@@ -194,19 +185,21 @@ class GTCRNMicro:
 
     def step(self, params, state: dict, spec: jax.Array):
         """One streaming step over a chunk: spec (B, F, T_chunk, 2) ->
-        (enhanced (B, F, T_chunk, 2), new_state).  With ring or rot state
-        T_chunk must be 1; with shift state any static chunk size works."""
+        (enhanced (B, F, T_chunk, 2), new_state).  With ring state T_chunk
+        must be a power of two <= 16 (and constant per state); with shift
+        state any static chunk size works."""
         ring = "step" in state
-        packed = any(k.startswith("rpack/") for k in state)
-        rot = any(k.endswith("/rot0") for k in state)
-        ctx = Ctx(state=state, ring=ring, packed=packed, rot=rot,
-                  step=state.get("step"))
+        T = spec.shape[2]
+        if ring and not (T <= 16 and (T & (T - 1)) == 0):
+            raise ValueError(
+                f"ring state needs a power-of-two chunk <= 16, got T={T}"
+            )
+        ctx = Ctx(state=state, ring=ring, step=state.get("step"))
         out = self._forward(params, spec, ctx)
-        if packed:
-            ctx.flush_rings()
         new_state = ctx.new_state
         if ring:
-            new_state["step"] = (state["step"] + 1) & 15
+            # counter wraps mod 16 (every ring length divides 16, and T | 16)
+            new_state["step"] = (state["step"] + T) & 15
         return out, new_state
 
     def scan_frames(self, params, state: dict, spec: jax.Array):

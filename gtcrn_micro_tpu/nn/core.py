@@ -66,8 +66,6 @@ class Ctx:
         state: dict | None = None,
         initializing: bool = False,
         ring: bool = False,
-        packed: bool = False,
-        rot: bool = False,
         step: Any = None,
     ):
         self.training = training
@@ -76,29 +74,19 @@ class Ctx:
         self.new_state: dict[str, Any] = {}
         self.stats: dict[str, Any] = {}
         self._path: list[str] = []
-        # Ring-buffer streaming (serving fast path, T==1 only): caches are
-        # rings indexed by a global step counter; each step WRITES one frame
-        # (dynamic_update_slice) instead of shifting the whole ring.  All
-        # ring lengths are powers of two <= 16, so ``step`` wraps mod 16.
+        # Ring-buffer streaming (serving fast path): caches are rings indexed
+        # by a global step counter; a step over a T-frame chunk WRITES T
+        # frames (dynamic_update_slice) instead of shifting whole windows.
+        # All ring lengths are powers of two <= 16, so ``step`` wraps mod 16;
+        # T must be a power of two so slab reads/writes stay aligned (see
+        # CausalConv2d._ring_call).
+        # Two further cache strategies (packed group rings; rotation caches)
+        # were built, oracle-tested and measured SLOWER on this hardware
+        # (PERF.md "rejected alternatives"); their implementations live in git
+        # history (tag r2, nn/core.py) and were removed to keep the
+        # one-definition invariant tight.
         self.ring = ring
         self.step = step
-        # Rotation mode (serving, T==1, opt-in): each temporal cache is L
-        # SEPARATE state entries rot0..rot{L-1} (rot_i = frame t-1-i); a step
-        # reads its taps as plain dict lookups and "shifts" by emitting
-        # identity outputs (rot_i' = rot_{i-1}).  No step counter, no
-        # dynamic_slice, no dynamic_update_slice: with donated state, XLA's
-        # parameter-passthrough aliasing makes the shift a buffer swap.
-        self.rot = rot
-        # Packed rings (serving fast path, opt-in): all rings sharing the
-        # same (length, frame-geometry) live in ONE (L, n, B, *geom) buffer.
-        # Every ring layer here taps at offsets {0, d} with d = L/2, so a
-        # group costs 2 batched slab reads + 1 batched slot write per step
-        # (10 reads + 5 writes total vs 22 + 14 per-layer ops) -- fewer
-        # kernel launches for identical byte traffic.
-        self.packed = packed
-        self._pack_members: dict[tuple, list[str]] = {}
-        self._pack_slabs: dict[tuple, Any] = {}
-        self._pack_pending: dict[tuple, list[Any]] = {}
         # Optional quantization hook (duck-typed, see quant/): an object with
         # ``act(ctx, leaf, x)`` and ``weight(ctx, leaf, w, channel_axis)``
         # called at every conv/matmul boundary.  None = fp32 path, zero cost.
@@ -123,69 +111,6 @@ class Ctx:
 
     def put_stats(self, leaf: str, value: Any) -> None:
         self.stats[self.path(leaf)] = value
-
-    # -- packed-ring transactions -------------------------------------------
-
-    @staticmethod
-    def _pack_key(length: int, trailing: tuple[int, ...]) -> tuple:
-        return (length,) + tuple(trailing)
-
-    @staticmethod
-    def _pack_name(key: tuple) -> str:
-        return "rpack/" + "x".join(str(d) for d in key)
-
-    def ring_io(self, length: int, offsets: list[int], frame: Any) -> list[Any]:
-        """One packed-ring transaction for the calling layer.
-
-        ``frame``: the (B, *geom) frame this layer writes at slot
-        ``step mod length`` (queued; flushed as ONE grouped write by
-        :meth:`flush_rings`).  Returns the taps at ``(step + off) mod length``
-        for each offset, each (B, *geom).  A layer's slot inside its group is
-        its CALL ORDER -- deterministic because the graph traversal order is
-        fixed, and identical between the init trace and every step trace.
-        """
-        key = self._pack_key(length, frame.shape[1:])
-        members = self._pack_members.setdefault(key, [])
-        idx = len(members)
-        members.append(self.path())
-        self._pack_pending.setdefault(key, []).append(frame)
-        if self.initializing:
-            return [jnp.zeros_like(frame) for _ in offsets]
-        pack = self.state[self._pack_name(key)]  # (L, n, B, *geom)
-        taps = []
-        for off in offsets:
-            slab_key = (key, off)
-            slab = self._pack_slabs.get(slab_key)
-            if slab is None:
-                slot = jax.lax.rem(self.step + off, length)
-                slab = jax.lax.dynamic_slice_in_dim(pack, slot, 1, axis=0)
-                self._pack_slabs[slab_key] = slab
-            taps.append(slab[0, idx])
-        return taps
-
-    def flush_rings(self) -> None:
-        """Emit one grouped slot write per (length, geometry) ring group.
-
-        Measured tradeoffs at 16k streams (PERF.md): the stack stages every
-        frame through HBM once more (+9% vs unpacked rings); per-layer DUS
-        into the shared pack is far worse (sequential updates of one buffer
-        defeat XLA's in-place path -> 14 whole-pack copies, +190%).  Packing
-        is therefore an opt-in experiment, not the serving default.
-        """
-        for key, frames in self._pack_pending.items():
-            name = self._pack_name(key)
-            stacked = jnp.stack(frames, axis=0)[None]  # (1, n, B, *geom)
-            if self.initializing:
-                length = key[0]
-                self.new_state[name] = jnp.zeros(
-                    (length,) + stacked.shape[1:], stacked.dtype
-                )
-            else:
-                slot = jax.lax.rem(self.step, key[0])
-                self.new_state[name] = jax.lax.dynamic_update_slice_in_dim(
-                    self.state[name], stacked, slot, axis=0
-                )
-        self._pack_pending.clear()
 
 
 class _Scope:
@@ -377,97 +302,74 @@ class CausalConv2d:
         )
 
     def _ring_call(self, ctx: Ctx, params, x):
-        """Ring-buffer streaming step (T==1): read kT-1 tap frames from the
+        """Ring-buffer streaming step over a T-frame chunk (T = x.shape[1]).
+
+        T == 1 is the classic serving path: read kT-1 tap frames from the
         ring, write ONE frame back -- O(1) state traffic per step vs the
-        concat path's full-ring shift (the reference's StreamConv2d pattern,
-        conversion/convolution.py:107-119, made cheap)."""
+        concat path's full-window shift (the reference's StreamConv2d
+        pattern, conversion/convolution.py:107-119, made cheap).
+
+        T > 1 amortizes the step's per-op dispatch/materialisation overhead
+        over T frames (VERDICT r2 #1).  Alignment invariant: the global step
+        counter starts at 0 and advances by T, and T is a power of two, so
+        with dilation d >= T every tap slab of T frames starts T-aligned
+        inside the ring and never wraps; with d < T the whole left context
+        (L = (kT-1)*d <= T for kT==3) is re-emitted each step as a pure slice
+        of the concatenated window -- no read-modify-write either way.
+        """
         kT = self.kernel[0]
         d = self.dilation[0]
         L = self.time_context  # (kT-1)*d
-        assert x.shape[1] == 1, "ring mode is the T==1 serving path"
+        T = x.shape[1]
 
         with ctx.scope(self.name):
             w = params["w"]
             if not ctx.initializing and ctx.quant is not None:
                 # the ring already holds quantized frames (fake-quant is
                 # idempotent and 0 is exactly representable), so only the
-                # incoming frame needs quantizing
+                # incoming frames need quantizing
                 x = ctx.quant.act(ctx, "in", x)
                 w = ctx.quant.weight(ctx, "w", w, 3)
-            if ctx.packed:
-                # tap j (j < kT-1) is x_{t-(kT-1-j)d}, at group offset j*d
-                taps = ctx.ring_io(L, [j * d for j in range(kT - 1)], x[:, 0])
-                if ctx.initializing:
-                    return jnp.zeros_like(x[:, :1])  # shape proxy, unused
-                out = self._freq_conv(w[kT - 1 : kT], x)
-                for j, tap in enumerate(taps):
-                    out = out + self._freq_conv(w[j : j + 1], tap[:, None])
-                if self.bias:
-                    out = out + params["b"]
-                return out
             if ctx.initializing:
                 ctx.put_state(
                     "ring", jnp.zeros((x.shape[0], L) + x.shape[2:], x.dtype)
                 )
-                return jnp.zeros_like(x[:, :1])  # shape proxy, unused
+                return jnp.zeros_like(x)  # shape proxy, unused
             ring = ctx.get_state("ring")
             t = ctx.step
-            # tap j (j < kT-1) applies w[j] to x_{t-(kT-1-j)d}, stored at
-            # ring slot (t + j*d) mod L; w[kT-1] applies to the current x.
-            # NOTE: per-tap depthwise convs as explicit shift-FMA elementwise
-            # ops were tried and measured 2.7x SLOWER (9.9 vs 3.65 ms/frame
-            # @16k streams) -- XLA's conv path wins; keep conv_general here.
-            out = self._freq_conv(w[kT - 1 : kT], x)
-            for j in range(kT - 1):
-                slot = jax.lax.rem(t + j * d, L)
-                tap = jax.lax.dynamic_slice_in_dim(ring, slot, 1, axis=1)
-                out = out + self._freq_conv(w[j : j + 1], tap)
-            # overwrite the oldest slot (t mod L) with the current frame
-            new_ring = jax.lax.dynamic_update_slice_in_dim(
-                ring, x, jax.lax.rem(t, L), axis=1
-            )
+            if d >= T:
+                # tap j (j < kT-1) applies w[j] to frames
+                # [t-(kT-1-j)d, ... +T), stored as the T-frame slab at ring
+                # slot (t + j*d) mod L; w[kT-1] applies to the chunk itself.
+                # NOTE: per-tap depthwise convs as explicit shift-FMA
+                # elementwise ops were tried and measured 2.7x SLOWER (9.9 vs
+                # 3.65 ms/frame @16k streams) -- XLA's conv path wins; keep
+                # conv_general here.
+                out = self._freq_conv(w[kT - 1 : kT], x)
+                for j in range(kT - 1):
+                    slot = jax.lax.rem(t + j * d, L)
+                    tap = jax.lax.dynamic_slice_in_dim(ring, slot, T, axis=1)
+                    out = out + self._freq_conv(w[j : j + 1], tap)
+                # overwrite the oldest T slots (t mod L) with the chunk
+                new_ring = jax.lax.dynamic_update_slice_in_dim(
+                    ring, x, jax.lax.rem(t, L), axis=1
+                )
+            else:
+                # d < T: taps straddle the chunk boundary; run the plain
+                # causal conv over [cache | chunk].  The cache holds the last
+                # L frames IN TIME ORDER (no rotation: it is fully rewritten
+                # every step, and for kT==3 d<T implies L<=T so the new cache
+                # is a pure slice of the incoming chunk).
+                xin = jnp.concatenate([ring, x], axis=1)
+                out = self._freq_conv(w, xin)
+                new_ring = xin[:, xin.shape[1] - L :]
             ctx.put_state("ring", new_ring)
-        if self.bias:
-            out = out + params["b"]
-        return out
-
-    def _rot_call(self, ctx: Ctx, params, x):
-        """Rotation streaming step (T==1): taps are plain state entries
-        (rot_i = x_{t-1-i}); the shift is identity outputs that alias donated
-        input buffers -- ZERO dynamic indexing and zero state data movement
-        when XLA passes the buffers through."""
-        kT = self.kernel[0]
-        d = self.dilation[0]
-        L = self.time_context  # (kT-1)*d
-        assert x.shape[1] == 1, "rot mode is the T==1 serving path"
-        with ctx.scope(self.name):
-            w = params["w"]
-            if not ctx.initializing and ctx.quant is not None:
-                x = ctx.quant.act(ctx, "in", x)
-                w = ctx.quant.weight(ctx, "w", w, 3)
-            if ctx.initializing:
-                for i in range(L):
-                    ctx.put_state(f"rot{i}", jnp.zeros_like(x))
-                return jnp.zeros_like(x[:, :1])  # shape proxy, unused
-            out = self._freq_conv(w[kT - 1 : kT], x)
-            for j in range(kT - 1):
-                # tap j applies w[j] to x_{t-(kT-1-j)d} = rot_{(kT-1-j)d-1}
-                tap = ctx.get_state(f"rot{(kT - 1 - j) * d - 1}")
-                out = out + self._freq_conv(w[j : j + 1], tap)
-            ctx.put_state("rot0", x)
-            for i in range(1, L):
-                ctx.put_state(f"rot{i}", ctx.get_state(f"rot{i - 1}"))
         if self.bias:
             out = out + params["b"]
         return out
 
     def __call__(self, ctx: Ctx, params, x):
         L = self.time_context
-        if L > 0 and ctx.streaming and ctx.rot:
-            if ctx.initializing:
-                self._rot_call(ctx, params, x)  # register state only
-            else:
-                return self._rot_call(ctx, params, x)
         if L > 0 and ctx.streaming and ctx.ring:
             if ctx.initializing:
                 self._ring_call(ctx, params, x)  # register state only
@@ -475,7 +377,7 @@ class CausalConv2d:
             else:
                 return self._ring_call(ctx, params, x)
         if L > 0:
-            if ctx.streaming and not ctx.ring and not ctx.rot:
+            if ctx.streaming and not ctx.ring:
                 with ctx.scope(self.name):
                     if ctx.initializing:
                         cache = jnp.zeros(
@@ -587,55 +489,38 @@ class TRALite:
         return (batch, self.time_context, self.channels)
 
     def _ring_call(self, ctx: Ctx, params, x, e):
-        """Ring-buffer step (T==1): O(1) energy-cache traffic."""
+        """Ring-buffer step over a T-frame chunk: O(T) energy-cache traffic.
+
+        The TRA energy conv has dilation 1 and context L==2, so for T==1 it
+        taps the ring at slots (t+j) mod L; for T>=2 the whole left context
+        fits inside [cache | chunk] and the new cache is a pure slice of the
+        incoming energies (same alignment argument as CausalConv2d)."""
         L = self.time_context
+        T = e.shape[1]
         with ctx.scope(self.name):
             depth_w, point_w = params["depth_w"], params["point_w"]
             if ctx.quant is not None:
                 e = ctx.quant.act(ctx, "energy", e)
                 depth_w = ctx.quant.weight(ctx, "depth_w", depth_w, 1)
             t = ctx.step
-            if ctx.packed:
-                taps = ctx.ring_io(L, list(range(self.kernel - 1)), e[:, 0])
-                y = params["depth_b"] + e[:, 0] * depth_w[self.kernel - 1]
-                for j, tap in enumerate(taps):
-                    y = y + tap * depth_w[j]
-            else:
-                ring = ctx.get_state("ring")  # (B, L, C)
+            ring = ctx.get_state("ring")  # (B, L, C)
+            if T == 1:
                 y = params["depth_b"] + e[:, 0] * depth_w[self.kernel - 1]
                 for j in range(self.kernel - 1):
                     slot = jax.lax.rem(t + j, L)
                     tap = jax.lax.dynamic_slice_in_dim(ring, slot, 1, axis=1)
                     y = y + tap[:, 0] * depth_w[j]
+                y = y[:, None]  # (B, 1, C)
                 new_ring = jax.lax.dynamic_update_slice_in_dim(
                     ring, e, jax.lax.rem(t, L), axis=1
                 )
-                ctx.put_state("ring", new_ring)
-            y = y[:, None]  # (B, 1, C)
-            if ctx.quant is not None:
-                y = ctx.quant.act(ctx, "gate_in", y)
-                point_w = ctx.quant.weight(ctx, "point_w", point_w, 1)
-            g = jax.nn.sigmoid(
-                jnp.dot(y, point_w, precision=PRECISION) + params["point_b"]
-            )
-        return x * g[:, :, None, :]
-
-    def _rot_call(self, ctx: Ctx, params, x, e):
-        """Rotation step (T==1): energy taps as plain state entries."""
-        with ctx.scope(self.name):
-            depth_w, point_w = params["depth_w"], params["point_w"]
-            if ctx.quant is not None:
-                e = ctx.quant.act(ctx, "energy", e)
-                depth_w = ctx.quant.weight(ctx, "depth_w", depth_w, 1)
-            # rot_i = e_{t-1-i}; kernel tap j weights e_{t-(k-1-j)}
-            y = params["depth_b"] + e[:, 0] * depth_w[self.kernel - 1]
-            for j in range(self.kernel - 1):
-                tap = ctx.get_state(f"rot{self.kernel - 2 - j}")
-                y = y + tap[:, 0] * depth_w[j]
-            ctx.put_state("rot0", e)
-            for i in range(1, self.time_context):
-                ctx.put_state(f"rot{i}", ctx.get_state(f"rot{i - 1}"))
-            y = y[:, None]  # (B, 1, C)
+            else:
+                e_cat = jnp.concatenate([ring, e], axis=1)  # (B, L+T, C)
+                y = params["depth_b"]
+                for i in range(self.kernel):
+                    y = y + e_cat[:, i : i + T, :] * depth_w[i]
+                new_ring = e_cat[:, e_cat.shape[1] - L :]
+            ctx.put_state("ring", new_ring)
             if ctx.quant is not None:
                 y = ctx.quant.act(ctx, "gate_in", y)
                 point_w = ctx.quant.weight(ctx, "point_w", point_w, 1)
@@ -648,25 +533,16 @@ class TRALite:
         """x: (B, T, F, C) -> gated x, same shape."""
         e = jnp.mean(x * x, axis=2)  # (B, T, C)
         L = self.time_context
-        if L > 0 and ctx.streaming and not ctx.initializing:
-            if ctx.rot:
-                return self._rot_call(ctx, params, x, e)
-            if ctx.ring:
-                return self._ring_call(ctx, params, x, e)
+        if L > 0 and ctx.streaming and not ctx.initializing and ctx.ring:
+            return self._ring_call(ctx, params, x, e)
         if L > 0:
             if ctx.streaming:
                 with ctx.scope(self.name):
                     if ctx.initializing:
-                        if ctx.rot:
-                            for i in range(L):
-                                ctx.put_state(f"rot{i}", jnp.zeros_like(e))
-                        elif ctx.ring and ctx.packed:
-                            ctx.ring_io(L, [], e[:, 0])  # register slot order
-                        else:
-                            cache = jnp.zeros(
-                                (e.shape[0], L, e.shape[2]), dtype=e.dtype
-                            )
-                            ctx.put_state("ring" if ctx.ring else "cache", cache)
+                        cache = jnp.zeros(
+                            (e.shape[0], L, e.shape[2]), dtype=e.dtype
+                        )
+                        ctx.put_state("ring" if ctx.ring else "cache", cache)
                     else:
                         cache = ctx.get_state("cache")
                         e_cat = jnp.concatenate([cache, e], axis=1)

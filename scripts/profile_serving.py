@@ -53,7 +53,9 @@ def categorize(name: str) -> str:
 def main() -> None:
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     folded = "--folded" in sys.argv
-    packed = "--packed" in sys.argv
+    chunk = 1
+    if "--chunk" in sys.argv:
+        chunk = int(sys.argv[sys.argv.index("--chunk") + 1])
     steps = 10
 
     model = GTCRNMicro()
@@ -64,8 +66,8 @@ def main() -> None:
         params = fold_bn_params(params)
     params = jax.tree.map(lambda v: jnp.asarray(v, jnp.bfloat16), params)
 
-    state = model.init_state(batch, dtype=jnp.bfloat16, packed=packed)
-    spec = jnp.zeros((batch, model.config.n_freqs, 1, 2), jnp.bfloat16)
+    state = model.init_state(batch, dtype=jnp.bfloat16)
+    spec = jnp.zeros((batch, model.config.n_freqs, chunk, 2), jnp.bfloat16)
     step = jax.jit(model.step, donate_argnums=(1,))
 
     out, state = step(params, state, spec)
@@ -78,11 +80,12 @@ def main() -> None:
         out, state = step(params, state, spec)
     sync(out)
     lat = (time.perf_counter() - t0 - rtt) / 200
-    print(f"batch {batch} folded={folded} packed={packed}: {lat * 1e3:.3f} ms/step "
-          f"({lat / batch * 1e9:.0f} ns/stream-step)", flush=True)
+    print(f"batch {batch} folded={folded} chunk={chunk}: {lat * 1e3:.3f} ms/step "
+          f"({lat / chunk * 1e3:.3f} ms/frame, "
+          f"{lat / chunk / batch * 1e9:.0f} ns/stream-frame)", flush=True)
 
     log_dir = (f"/tmp/gtcrn_trace_b{batch}{'_folded' if folded else ''}"
-               f"{'_packed' if packed else ''}")
+               f"{f'_c{chunk}' if chunk > 1 else ''}")
     jax.profiler.start_trace(log_dir)
     for _ in range(steps):
         out, state = step(params, state, spec)

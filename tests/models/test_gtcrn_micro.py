@@ -177,23 +177,27 @@ def test_bn_folding_equivalence(model, params):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
-def test_rot_streaming_matches_offline():
-    """Rotation-cache mode (init_state(rot=True)): static shift-register
-    entries, no step counter or dynamic indexing -- must equal offline
-    exactly, like the ring and shift modes."""
-    model = GTCRNMicro()
-    params = model.init(jax.random.PRNGKey(0))
-    rng = np.random.default_rng(5)
-    T = 20
-    spec = rng.standard_normal((1, 257, T, 2)).astype(np.float32) * 0.3
-    offline = np.asarray(model.apply_jit(params, jnp.asarray(spec)))
-    state = model.init_state(1, rot=True)
-    assert "step" not in state
-    assert any(k.endswith("/rot0") for k in state)
-    step = jax.jit(model.step)
+@pytest.mark.parametrize("chunk", [2, 4, 8, 16])
+def test_chunked_ring_streaming_equals_offline(model, params, chunk):
+    """Multi-frame ring serving (T-frame chunks per dispatch, VERDICT r2 #1):
+    a T-chunk ring step must equal the offline pass exactly, including across
+    step-counter wraps (32 frames = 2 full mod-16 wraps)."""
+    n = 32
+    spec = jax.random.normal(jax.random.PRNGKey(11), (2, 257, n, 2)) * 0.5
+    offline = model.apply_jit(params, spec)
+    state = model.init_state(2, ring=True)
     outs = []
-    for t in range(T):
-        y, state = step(params, state, jnp.asarray(spec[:, :, t : t + 1]))
+    for t0 in range(0, n, chunk):
+        y, state = model.step_jit(
+            params, state, spec[:, :, t0 : t0 + chunk, :]
+        )
         outs.append(np.asarray(y))
-    stream = np.concatenate(outs, axis=2)
-    np.testing.assert_allclose(stream, offline, atol=1e-6)
+    streamed = np.concatenate(outs, axis=2)
+    np.testing.assert_allclose(streamed, np.asarray(offline), atol=1e-5)
+
+
+def test_ring_rejects_non_power_of_two_chunk(model, params):
+    state = model.init_state(1, ring=True)
+    spec = jnp.zeros((1, 257, 3, 2))
+    with pytest.raises(ValueError, match="power-of-two"):
+        model.step(params, state, spec)
