@@ -1,10 +1,22 @@
 """Headline benchmark: concurrent real-time 16 kHz streams per chip.
 
-Serving mode = batched frame-by-frame streaming (the reference's ESP32/TFLM
-deployment serves ONE stream per device; the TPU-native equivalent batches
-thousands of independent streams through the jit'd streaming step).  A stream
-is "real-time" if one 256-sample hop (16 ms of audio) is processed in under
-the 10 ms/frame latency budget (BASELINE.md north star).
+Serving architecture = phase-staggered cohorts: K independent batches of B
+streams each, one jit'd streaming step per cohort per 16 ms frame interval,
+phases staggered so each cohort's step starts right after its frames arrive
+(the standard batching-window pattern; the reference's ESP32/TFLM deployment
+serves ONE stream per device, gtcrn_micro/esp32_s3/main/main.cc).
+
+A config is real-time iff BOTH hold with the MEASURED round-robin step time:
+
+- keep-up:  K * step <= 16 ms   (every stream gets its frame each interval)
+- latency:  step + 16/K <= 10 ms (frame arrival -> enhanced output, incl.
+            worst-case phase mismatch when a stream's arrival is not aligned
+            to its cohort's step; BASELINE.md budget)
+
+All timings are medians over >=3 independent chains (r2 verdict: single
+chains are too noisy to decide the headline); chains are sequences of
+donated-state steps between two host value-fetches, minus the measured
+tunnel RTT (``block_until_ready`` does not block through this tunnel).
 
 Prints ONE JSON line:
   {"metric": "concurrent_realtime_streams", "value": N, "unit": "streams",
@@ -19,38 +31,74 @@ import time
 import jax
 import jax.numpy as jnp
 
-LATENCY_BUDGET_S = 0.010  # 10 ms per 16 ms frame (BASELINE.md)
+LATENCY_BUDGET_S = 0.010  # 10 ms per frame (BASELINE.md)
+FRAME_S = 0.016  # one 256-sample hop @ 16 kHz
 BASELINE_STREAMS = 4096  # north-star target, BASELINE.md / BASELINE.json
 
-
-# On this TPU tunnel ``block_until_ready`` does NOT actually block (the
-# relay acks immediately -- measured 27,000 TFLOP/s "matmuls"); only a value
-# fetch round-trips.  The shared helpers live in utils/profiling.
 from gtcrn_micro_tpu.utils.profiling import measure_rtt, sync as _sync  # noqa: E402
 
 
-def measure_step_latency(model, params, batch: int, *, chain: int = 200,
-                         rtt: float = 0.0, dtype=jnp.bfloat16) -> float:
-    """Steady-state seconds per streaming step at ``batch`` concurrent
-    streams: N sequentially-dependent steps between two syncs, minus the
-    fixed sync RTT.  State is donated (in-place cache updates, as a real
-    server would run)."""
+def max_cohorts(step_s: float) -> int:
+    """Largest K meeting keep-up and latency; 0 if none."""
+    return max(
+        (k for k in range(1, 65)
+         if k * step_s <= FRAME_S
+         and step_s + FRAME_S / k <= LATENCY_BUDGET_S),
+        default=0,
+    )
+
+
+def measure_step_latency(model, params, batch: int, *, chain: int = 160,
+                         repeats: int = 3, rtt: float = 0.0,
+                         dtype=jnp.bfloat16) -> tuple[float, float, float]:
+    """(median, min, max) steady-state seconds per streaming step at
+    ``batch`` concurrent streams, over ``repeats`` chains of ``chain``
+    sequentially-dependent donated-state steps."""
     state = model.init_state(batch, dtype=dtype)
     spec = jnp.zeros((batch, model.config.n_freqs, 1, 2), dtype)
     step = jax.jit(model.step, donate_argnums=(1,))
 
     out, state = step(params, state, spec)  # compile
     _sync(out)
-    for _ in range(5):
+    for _ in range(4):
         out, state = step(params, state, spec)
     _sync(out)
 
-    t0 = time.perf_counter()
-    for _ in range(chain):
-        out, state = step(params, state, spec)
+    lats = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(chain):
+            out, state = step(params, state, spec)
+        _sync(out)
+        elapsed = time.perf_counter() - t0 - rtt
+        lats.append(max(elapsed, 1e-9) / chain)
+    lats.sort()
+    return lats[len(lats) // 2], lats[0], lats[-1]
+
+
+def measure_round_robin(model, params, batch: int, k: int, *,
+                        rounds: int = 30, repeats: int = 3,
+                        rtt: float = 0.0, dtype=jnp.bfloat16) -> float:
+    """Median seconds per cohort step when K independent states are stepped
+    round-robin (the actual serving schedule, not a single-chain proxy)."""
+    spec = jnp.zeros((batch, model.config.n_freqs, 1, 2), dtype)
+    step = jax.jit(model.step, donate_argnums=(1,))
+    states = [model.init_state(batch, dtype=dtype) for _ in range(k)]
+    for i in range(k):
+        out, states[i] = step(params, states[i], spec)
     _sync(out)
-    elapsed = time.perf_counter() - t0 - rtt
-    return max(elapsed, 1e-9) / chain
+
+    lats = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(rounds):
+            for i in range(k):
+                out, states[i] = step(params, states[i], spec)
+        _sync(out)
+        elapsed = time.perf_counter() - t0 - rtt
+        lats.append(max(elapsed, 1e-9) / (rounds * k))
+    lats.sort()
+    return lats[len(lats) // 2]
 
 
 def main() -> None:
@@ -69,47 +117,64 @@ def main() -> None:
     )
 
     rtt = measure_rtt()
-    print(f"# sync RTT: {rtt * 1e3:.1f} ms (amortized over 200-step chains)",
-          flush=True)
-
-    # exponential sweep, then one binary refinement step
-    best, over, results = 0, None, {}
-    batch = 1024
-    while batch <= 131072:
-        try:
-            lat = measure_step_latency(model, params, batch, rtt=rtt)
-        except Exception:  # OOM or compile failure at this size
-            break
-        results[batch] = lat
-        if lat < LATENCY_BUDGET_S:
-            best = batch
-            batch *= 2
-        else:
-            over = batch
-            break
-    if over is not None:
-        for _ in range(2):
-            mid = (best + over) // 2 // 1024 * 1024
-            if mid in (best, over) or mid <= 0:
-                break
-            lat = measure_step_latency(model, params, mid, rtt=rtt)
-            results[mid] = lat
-            if lat < LATENCY_BUDGET_S:
-                best = mid
-            else:
-                over = mid
-
+    print(f"# sync RTT: {rtt * 1e3:.1f} ms (amortized over 160-step chains, "
+          f"median of 3)", flush=True)
     dev = jax.devices()[0]
     print(f"# device: {dev.device_kind}, platform {dev.platform}", flush=True)
-    for b, lat in sorted(results.items()):
-        rt = "RT" if lat < LATENCY_BUDGET_S else "over-budget"
-        print(f"# batch {b:6d}: {lat * 1e3:7.3f} ms/frame [{rt}]", flush=True)
+
+    # step-time curve; per-stream cost is batch-dependent (PERF.md r3), so
+    # the best config is cohorts of a mid-size batch, not one huge batch
+    candidates = [4096, 6144, 8192, 12288, 16384, 32768]
+    scored = []  # (ideal streams, batch, k)
+    single_best = 0
+    for b in candidates:
+        try:
+            med, lo, hi = measure_step_latency(model, params, b, rtt=rtt)
+        except Exception as e:  # noqa: BLE001 -- OOM/compile failure at size
+            print(f"# batch {b:6d}: FAILED ({type(e).__name__})", flush=True)
+            continue
+        k = max_cohorts(med)
+        streams = k * b
+        lat = (med + FRAME_S / k) * 1e3 if k else float("inf")
+        print(f"# batch {b:6d}: {med * 1e3:7.3f} ms/step "
+              f"[{lo * 1e3:.3f},{hi * 1e3:.3f}] -> K={k} cohorts = "
+              f"{streams:6d} streams, worst latency {lat:.2f} ms", flush=True)
+        if med < LATENCY_BUDGET_S:
+            single_best = max(single_best, b)
+        if streams > 0:
+            scored.append((streams, b, k))
+
+    # verify the top candidates empirically (round-robin over K real
+    # states -- the actual serving schedule); shrink K on a miss, keep the
+    # best verified config.  Verifying several candidates makes the
+    # headline robust to a noisy window on any single batch size.
+    scored.sort(reverse=True)
+    verified = single_best
+    for ideal, b, k in scored[:3]:
+        if k * b <= verified:
+            break  # even the ideal cannot beat what is already verified
+        while k * b > verified and k >= 1:
+            rr = measure_round_robin(model, params, b, k, rtt=rtt)
+            ok = (k * rr <= FRAME_S
+                  and rr + FRAME_S / k <= LATENCY_BUDGET_S)
+            print(f"# verify K={k} x {b}: {rr * 1e3:.3f} ms/step round-robin, "
+                  f"keep-up {k * rr * 1e3:.2f}/16 ms, "
+                  f"latency {(rr + FRAME_S / k) * 1e3:.2f}/10 ms "
+                  f"[{'OK' if ok else 'MISS'}]", flush=True)
+            if ok:
+                verified = max(verified, k * b)
+                break
+            k -= 1
+
+    streams = verified
+    print(f"# single-batch mode best (continuity with r1/r2): "
+          f"{single_best} streams", flush=True)
 
     print(json.dumps({
         "metric": "concurrent_realtime_streams",
-        "value": best,
+        "value": streams,
         "unit": "streams",
-        "vs_baseline": best / BASELINE_STREAMS,
+        "vs_baseline": streams / BASELINE_STREAMS,
     }), flush=True)
 
 

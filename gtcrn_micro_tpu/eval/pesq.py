@@ -1,0 +1,292 @@
+"""Wideband PESQ (ITU-T P.862.2-structured) implemented from spec, host-side.
+
+The reference's validation criterion and headline quality metric is wideband
+PESQ via the ``pesq`` package (reference gtcrn_micro/train.py:356-362,
+eval/eval_intrusive_metrics.py:46-60).  That package (a wrapper around the
+ITU reference C code) is not installable in this build environment, so this
+module implements the P.862 pipeline from the published algorithm
+description, following the same trust protocol as the STOI implementation
+(tests/eval/test_stoi_golden.py): property tests, frozen goldens, and a
+gated numerical cross-check against the ``pesq`` package wherever it IS
+available (tests/eval/test_pesq.py).
+
+Pipeline (P.862 §10, P.862.2 amendments for wideband):
+
+1. level alignment of both signals to a fixed active-band power (1e7)
+2. wideband input filter: the P.862.2 IIR section replacing the
+   narrowband IRS filters
+3. time alignment (see caveats)
+4. perceptual model: 32 ms Hann frames -> power spectra -> Bark-warped
+   band densities -> partial frequency/gain compensation -> Zwicker
+   loudness -> masked disturbance + asymmetric disturbance
+5. L2(bands) / L6(split-seconds) / L2(time) aggregation -> raw score ->
+   P.862.2 logistic MOS-LQO map
+
+Provenance of constants -- be precise about what is ITU-published vs
+derived here (zero-egress build: the ITU C reference tables could not be
+consulted):
+
+- EXACT per the standard / its paper: target power 1e7; the wideband input
+  IIR coefficients; frame size 512 / 50% overlap Hann at 16 kHz; Zwicker
+  loudness exponent 0.23; masking factor 0.25; asymmetry ratio offset 50,
+  exponent 1.2, kill-below 3, cap 12; frame disturbance cap 45; split-
+  second length 20 frames; L6-within / L2-across aggregation; raw score
+  4.5 - 0.1*d_sym - 0.0309*d_asym; wb MOS map
+  0.999 + 4.0 / (1 + exp(-1.3669*raw + 3.8224)).
+- DERIVED (the ITU code ships them as 49-entry tables): the Bark band
+  layout (here: uniform in z = 7*asinh(f/650), the warp the P.862
+  literature documents) and the absolute hearing threshold (here: the
+  Terhardt curve mapped to the internal power scale via the standard's
+  79 dB SPL listening-level calibration).  A small systematic offset vs
+  the ITU implementation is therefore expected; the gated cross-check
+  quantifies it where ``pesq`` exists and the frozen goldens pin THIS
+  implementation against regressions.
+
+Caveat on time alignment: the ITU code tracks per-utterance variable delay
+(crude envelope + fine spectral alignment, utterance splitting).  This
+implementation estimates ONE global delay (envelope cross-correlation
+refined by waveform cross-correlation), which is exact for this
+framework's use (enhancement output is sample-aligned with its input) and
+a documented simplification for material with drifting delay.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FS = 16000
+FRAME = 512  # 32 ms
+HOP = 256
+N_BARK = 49
+TARGET_POWER = 1.0e7
+
+# P.862.2 wideband input filter (one IIR second-order section)
+WB_IIR_B = np.array([2.6657628, -5.3315255, 2.6657628])
+WB_IIR_A = np.array([1.0, -1.8890331, 0.89487434])
+
+# Listening-level calibration: level-aligned signals sit at 79 dB SPL
+# (P.862 assumption), i.e. internal power 1e7 <-> 79 dB SPL.
+LISTENING_LEVEL_DB = 79.0
+
+
+def _bark(f_hz: np.ndarray | float) -> np.ndarray:
+    """The P.862 frequency warp z = 7 * asinh(f / 650)."""
+    return 7.0 * np.arcsinh(np.asarray(f_hz, np.float64) / 650.0)
+
+
+def _bark_bands(n_fft: int = FRAME, fs: int = FS, n_bands: int = N_BARK):
+    """(band_of_bin, centre_hz, width_bark): uniform-Bark band layout.
+
+    DERIVED (see module docstring): bins up to Nyquist are assigned to
+    ``n_bands`` bands equally spaced on the asinh Bark scale."""
+    freqs = np.fft.rfftfreq(n_fft, 1.0 / fs)
+    z = _bark(freqs)
+    z_max = _bark(fs / 2)
+    edges = np.linspace(0.0, z_max, n_bands + 1)
+    band_of_bin = np.clip(
+        np.searchsorted(edges, z, side="right") - 1, 0, n_bands - 1
+    )
+    centre_z = 0.5 * (edges[:-1] + edges[1:])
+    centre_hz = 650.0 * np.sinh(centre_z / 7.0)
+    width_bark = np.diff(edges)
+    return band_of_bin, centre_hz, width_bark
+
+
+_BAND_OF_BIN, _CENTRE_HZ, _WIDTH_BARK = _bark_bands()
+
+
+def _abs_threshold_power() -> np.ndarray:
+    """Absolute hearing threshold per band on the internal power scale.
+
+    DERIVED: Terhardt's threshold-in-quiet curve (dB SPL), mapped via the
+    79 dB SPL <-> 1e7 calibration."""
+    f_khz = np.maximum(_CENTRE_HZ, 20.0) / 1000.0
+    spl = (
+        3.64 * f_khz ** -0.8
+        - 6.5 * np.exp(-0.6 * (f_khz - 3.3) ** 2)
+        + 1e-3 * f_khz ** 4
+    )
+    return TARGET_POWER * 10.0 ** ((spl - LISTENING_LEVEL_DB) / 10.0)
+
+
+_ABS_THRESH = _abs_threshold_power()
+
+
+def _iir(b: np.ndarray, a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Direct-form II transposed IIR (one SOS), float64."""
+    y = np.empty_like(x, dtype=np.float64)
+    z1 = z2 = 0.0
+    for i, xi in enumerate(x):
+        yi = b[0] * xi + z1
+        z1 = b[1] * xi - a[1] * yi + z2
+        z2 = b[2] * xi - a[2] * yi
+        y[i] = yi
+    return y
+
+
+def _band_power(x: np.ndarray, lo_hz: float, hi_hz: float) -> float:
+    """Mean power of x restricted to [lo_hz, hi_hz] (FFT brickwall, the
+    P.862 level-alignment band 350-3250 Hz)."""
+    spec = np.fft.rfft(x)
+    freqs = np.fft.rfftfreq(len(x), 1.0 / FS)
+    mask = (freqs >= lo_hz) & (freqs <= hi_hz)
+    # Parseval: mean power of the band-limited signal
+    n = len(x)
+    p = (np.abs(spec[mask]) ** 2).sum() * 2.0 / (n * n)
+    return float(p)
+
+
+def _level_align(x: np.ndarray) -> np.ndarray:
+    p = _band_power(x, 350.0, 3250.0)
+    return x * np.sqrt(TARGET_POWER / max(p, 1e-20))
+
+
+def _estimate_delay(ref: np.ndarray, deg: np.ndarray,
+                    max_lag: int = FS // 2) -> int:
+    """Global delay of deg vs ref by full FFT cross-correlation, searched
+    within +/-``max_lag`` samples (0.5 s)."""
+    n = min(len(ref), len(deg))
+    r, d = ref[:n], deg[:n]
+    m = 1 << int(np.ceil(np.log2(2 * n)))
+    c = np.fft.irfft(np.conj(np.fft.rfft(r, m)) * np.fft.rfft(d, m), m)
+    pos = c[: max_lag + 1]  # lags 0..max_lag
+    neg = c[m - max_lag :]  # lags -max_lag..-1
+    if pos.max() >= neg.max():
+        return int(np.argmax(pos))
+    return int(np.argmax(neg)) - max_lag
+
+
+def _frames_power(x: np.ndarray) -> np.ndarray:
+    """(n_frames, n_bins) FFT power spectra of 50%-overlapped Hann frames."""
+    n_fr = (len(x) - FRAME) // HOP + 1
+    if n_fr <= 0:
+        return np.zeros((0, FRAME // 2 + 1))
+    idx = np.arange(FRAME)[None, :] + HOP * np.arange(n_fr)[:, None]
+    w = np.hanning(FRAME)
+    spec = np.fft.rfft(x[idx] * w, axis=1)
+    # scale so a full-scale sine's band power matches its time power
+    return (np.abs(spec) ** 2) * (2.0 / (w.sum() ** 2 / 2.0))
+
+
+def _pitch_power_density(x: np.ndarray) -> np.ndarray:
+    """(n_frames, N_BARK) Bark-band power densities."""
+    p = _frames_power(x)
+    bands = np.zeros((p.shape[0], N_BARK))
+    np.add.at(bands.T, _BAND_OF_BIN, p.T)
+    return bands
+
+
+def _loudness(power: np.ndarray) -> np.ndarray:
+    """Zwicker loudness density (exponent 0.23) per band, 0 below thresh."""
+    p0 = _ABS_THRESH[None, :]
+    s = (p0 / 0.5) ** 0.23 * (
+        (0.5 + 0.5 * power / p0) ** 0.23 - 1.0
+    )
+    return np.maximum(s, 0.0) * SL_SCALE
+
+
+# Loudness scale: calibrated so the white-noise degradation curve on real
+# speech lands on typical published wb-PESQ anchors
+# (~{40dB: 4.1, 30: 3.5, 20: 2.8, 10: 2.0, 0: 1.4}; rmse 0.15 at this
+# value -- see tests/eval/test_pesq.py).  It plays the role the ITU code's
+# Sl_16k constant plays against its own band tables.
+SL_SCALE = 4.665e-1
+
+
+def _audible_power(bands: np.ndarray, factor: float = 1.0) -> np.ndarray:
+    """Per-frame total power of components above factor*threshold."""
+    audible = np.where(bands > factor * _ABS_THRESH[None, :], bands, 0.0)
+    return (audible * _WIDTH_BARK[None, :]).sum(axis=1)
+
+
+def pesq_wb(ref: np.ndarray, deg: np.ndarray, fs: int = FS) -> float:
+    """Wideband PESQ MOS-LQO of ``deg`` against clean ``ref`` (16 kHz)."""
+    if fs != FS:
+        raise ValueError(f"wideband PESQ is 16 kHz only, got fs={fs}")
+    ref = np.asarray(ref, np.float64)
+    deg = np.asarray(deg, np.float64)
+
+    ref = _level_align(ref)
+    deg = _level_align(deg)
+    ref = _iir(WB_IIR_B, WB_IIR_A, ref)
+    deg = _iir(WB_IIR_B, WB_IIR_A, deg)
+
+    delay = _estimate_delay(ref, deg)
+    if delay > 0:
+        deg = deg[delay:]
+    elif delay < 0:
+        ref = ref[-delay:]
+    n = min(len(ref), len(deg))
+    ref, deg = ref[:n], deg[:n]
+
+    pr = _pitch_power_density(ref)
+    pd = _pitch_power_density(deg)
+    n_fr = min(len(pr), len(pd))
+    if n_fr == 0:
+        return 1.0
+    pr, pd = pr[:n_fr], pd[:n_fr]
+
+    # speech-active frames: reference audible power above a floor
+    apr = _audible_power(pr)
+    active = apr > 1e4
+    if not active.any():
+        active = np.ones(n_fr, bool)
+
+    # partial frequency-response compensation: scale the REFERENCE density
+    # by the per-band deg/ref ratio over active frames, bounded +/-20 dB
+    num = (pd[active] * _WIDTH_BARK).sum(axis=0) + 1e3
+    den = (pr[active] * _WIDTH_BARK).sum(axis=0) + 1e3
+    band_ratio = np.clip(num / den, 0.01, 100.0)
+    pr_c = pr * band_ratio[None, :]
+
+    # short-term gain compensation: scale the DEGRADED density by the
+    # smoothed per-frame ref/deg audible-power ratio, bounded [3e-4, 5]
+    r = (_audible_power(pr_c) + 5e3) / (_audible_power(pd) + 5e3)
+    r = np.clip(r, 3e-4, 5.0)
+    h = np.empty_like(r)
+    acc = 1.0
+    for i, ri in enumerate(r):
+        acc = 0.8 * acc + 0.2 * ri
+        h[i] = acc
+    pd_c = pd * h[:, None]
+
+    lr = _loudness(pr_c)
+    ld = _loudness(pd_c)
+
+    # masked disturbance
+    d = ld - lr
+    m = 0.25 * np.minimum(ld, lr)
+    disturbance = np.sign(d) * np.maximum(np.abs(d) - m, 0.0)
+
+    # asymmetric disturbance: penalize additive (new) distortions more
+    ratio = ((pd_c + 50.0) / (pr_c + 50.0)) ** 1.2
+    ratio[ratio < 3.0] = 0.0
+    asym = disturbance * np.minimum(ratio, 12.0)
+
+    w = _WIDTH_BARK[None, :]
+    d_frame = np.sqrt(((disturbance * w) ** 2).sum(axis=1))
+    da_frame = np.abs(asym * w).sum(axis=1)
+
+    # weight frames by reference loudness (quiet frames count less) and cap
+    weight = ((_audible_power(pr_c) + 1e5) / 1e7) ** 0.04
+    d_frame = np.minimum(d_frame / weight, 45.0)
+    da_frame = np.minimum(da_frame / weight, 45.0)
+
+    def aggregate(x: np.ndarray) -> float:
+        # L6 over 20-frame split-seconds, then L2 over split-seconds
+        n_ss = max(len(x) // 20, 1)
+        chunks = x[: n_ss * 20].reshape(n_ss, -1) if len(x) >= 20 else x[None]
+        l6 = (np.mean(chunks ** 6.0, axis=1)) ** (1.0 / 6.0)
+        return float(np.sqrt(np.mean(l6 ** 2)))
+
+    d_sym = aggregate(d_frame)
+    d_asym = aggregate(da_frame)
+
+    raw = 4.5 - 0.1 * d_sym - 0.0309 * d_asym
+    # P.862.2 wideband logistic MOS-LQO map
+    return float(0.999 + 4.0 / (1.0 + np.exp(-1.3669 * raw + 3.8224)))
+
+
+def pesq_wb_batch(pairs) -> list[float]:
+    """[(ref, deg), ...] -> MOS-LQO list (simple host-side loop)."""
+    return [pesq_wb(r, d) for r, d in pairs]

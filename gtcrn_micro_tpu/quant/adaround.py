@@ -1,0 +1,393 @@
+"""AdaRound: learned per-weight rounding for the full-int8 deployment path.
+
+EVAL.md r2's sensitivity analysis proved int8 *weight rounding* is the
+dominant error of the full-int8 artifact (int16-act ceiling 24.9 dB on hard
+content; no small set of rescuable activation boundaries).  Nearest-rounding
+is not the best projection of a 19k-parameter model onto the int8 grid --
+AdaRound (Nagel et al., 2020, "Up or Down? Adaptive Rounding for
+Post-Training Quantization") optimizes the round-up/round-down decision per
+weight.  This implementation departs from the paper in one deliberate way:
+instead of layer-local MSE proxies it optimizes ALL rounding variables
+jointly against the end-to-end distillation objective (int8 path output ==
+fp32 checkpoint output), which is exactly the metric EVAL.md reports -- the
+model is small enough that the global problem fits in one optimizer.
+
+Pieces:
+
+- rounding variable V per quantized weight element; soft rounding
+  ``h(V) = clip(sigmoid(V)*(zeta-gamma)+gamma, 0, 1)`` (rectified sigmoid),
+  initialized so ``floor(w/s)+h(V) == w/s`` (zero initial rounding error)
+- quantized weight sim ``w_q = s * clip(floor(w/s) + h(V), qmin, qmax)``
+  with the per-channel abs-max elements PINNED to nearest rounding, so the
+  baked weights reproduce the identical per-channel scale when re-observed
+  by the exporters / native engine (bit-exact artifact round-trip)
+- regularizer ``sum(1 - |2h-1|^beta)`` with beta annealed high->low pushes
+  every h to a hard 0/1 by the end of training
+- bias correction: conv/pointwise biases, TRA gate biases and BN
+  gamma/beta train in float alongside V (they deploy as float/int32
+  per-channel terms in every engine, so this costs the artifact nothing)
+
+CLI (same distillation protocol as quant/qat.py: reference examples 1-4 in,
+fp32 enhancements as targets, example 5 held out)::
+
+    python -m gtcrn_micro_tpu.quant.adaround --checkpoint <ckpt.tar> \
+        --steps 1500 --out_dir /tmp/adaround
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gtcrn_micro_tpu.nn.core import Ctx
+from gtcrn_micro_tpu.quant.fake_quant import (
+    QParams,
+    fake_quant,
+    weight_qparams,
+)
+
+ZETA, GAMMA = 1.1, -0.1  # rectified-sigmoid stretch (AdaRound defaults)
+
+
+def _h(v: jax.Array) -> jax.Array:
+    """Rectified sigmoid: smooth in (0,1), saturates at the corners."""
+    return jnp.clip(jax.nn.sigmoid(v) * (ZETA - GAMMA) + GAMMA, 0.0, 1.0)
+
+
+def _h_init(remainder: jax.Array) -> jax.Array:
+    """V such that h(V) == remainder (so training starts at w_q == w)."""
+    p = jnp.clip((remainder - GAMMA) / (ZETA - GAMMA), 1e-4, 1 - 1e-4)
+    return jnp.log(p / (1 - p))
+
+
+def _pin_mask(w: jax.Array, qp: QParams) -> jax.Array:
+    """True at each channel's abs-max element(s): these stay
+    nearest-rounded so amax (hence the per-channel scale) is invariant."""
+    amax = jnp.abs(qp.scale) * qp.qmax  # (per-channel, broadcastable)
+    return jnp.abs(w) >= amax - 1e-12
+
+
+def soft_quant_weight(w, v, channel_axis: int, hard: bool = False):
+    """AdaRounded weight (dequantized float): s*clip(floor(w/s)+h, n, p)."""
+    qp = weight_qparams(jax.lax.stop_gradient(w), channel_axis)
+    r = w / qp.scale
+    base = jnp.floor(r)
+    frac = _h(v) if not hard else (_h(v) >= 0.5).astype(w.dtype)
+    pin = _pin_mask(w, qp)
+    q = jnp.where(pin, jnp.round(r), base + frac)
+    return jnp.clip(q, qp.qmin, qp.qmax) * qp.scale
+
+
+class AdaRoundQuantizer:
+    """ctx.quant hook: frozen activation fake-quant + AdaRounded weights.
+
+    ``rvars`` maps weight path -> rounding variables (same shape as the
+    weight).  When a path is missing (initial trace) it is registered with
+    zero-error init and the plain fake-quant weight is returned.
+    """
+
+    def __init__(self, act_qp: dict[str, QParams],
+                 rvars: dict[str, jax.Array] | None = None,
+                 hard: bool = False):
+        self.act_qp = act_qp
+        self.rvars = rvars if rvars is not None else {}
+        self.collecting = rvars is None
+        self.hard = hard
+        self.axes: dict[str, int] = {}
+
+    def act(self, ctx: Ctx, leaf: str, x):
+        qp = self.act_qp.get(ctx.path(leaf))
+        if qp is None:
+            raise KeyError(f"no activation qparams for {ctx.path(leaf)}")
+        return fake_quant(x, qp)
+
+    def weight(self, ctx: Ctx, leaf: str, w, channel_axis: int):
+        path = ctx.path(leaf)
+        self.axes[path] = channel_axis
+        if self.collecting:
+            qp = weight_qparams(w, channel_axis)
+            r = w / qp.scale
+            self.rvars[path] = _h_init(r - jnp.floor(r))
+            return fake_quant(w, qp)
+        return soft_quant_weight(w, self.rvars[path], channel_axis, self.hard)
+
+
+def init_rvars(model, params, act_qp) -> tuple[dict, dict]:
+    """(rvars, axes): zero-error rounding vars for every quantized weight."""
+    q = AdaRoundQuantizer(act_qp, rvars=None)
+    ctx = Ctx()
+    ctx.quant = q
+    spec = jnp.zeros((1, model.config.n_freqs, 2, 2), jnp.float32)
+    model._forward(params, spec, ctx)
+    return q.rvars, q.axes
+
+
+TRAINABLE_FLOAT_LEAVES = ("b", "depth_b", "point_b", "beta", "gamma")
+
+
+def _float_trainable(path_str: str) -> bool:
+    leaf = path_str.rsplit("/", 1)[-1]
+    return leaf in TRAINABLE_FLOAT_LEAVES
+
+
+def adaround_optimize(
+    model,
+    params,
+    noisy: np.ndarray,
+    target: np.ndarray,
+    act_qp: dict,
+    steps: int = 1500,
+    batch_size: int = 8,
+    lr_v: float = 2e-2,
+    lr_f: float = 1e-4,
+    reg_weight: float = 1e-4,
+    beta_hi: float = 20.0,
+    beta_lo: float = 2.0,
+    seed: int = 0,
+    log_every: int = 100,
+):
+    """Jointly optimize rounding vars + float correction terms.
+
+    Returns (baked_params, rvars): ``baked_params`` has every quantized
+    weight replaced by its hard-rounded dequantized value (artifact-ready)
+    and the trained float terms merged in."""
+    import optax
+
+    from gtcrn_micro_tpu.dsp.stft import istft, sqrt_hann_window, stft
+
+    rvars, axes = init_rvars(model, params, act_qp)
+    window = sqrt_hann_window(model.config.win_len)
+
+    # float-correction subtree: biases + BN affine, flattened by path
+    flat = dict(
+        (jax.tree_util.keystr(p, simple=True, separator="/"), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(params)
+    )
+    fvars = {k: v for k, v in flat.items() if _float_trainable(k)}
+
+    def merge(fv):
+        out = dict(flat)
+        out.update(fv)
+        return _unflatten_like(params, out)
+
+    def forward(rv, fv, spec):
+        p = merge(fv)
+        ctx = Ctx()
+        ctx.quant = AdaRoundQuantizer(act_qp, rvars=rv)
+        return model._forward(p, spec, ctx)
+
+    def loss_fn(opt_vars, spec, tgt_wav, beta):
+        rv, fv = opt_vars
+        out = forward(rv, fv, spec)
+        wav = istft(out, window, length=tgt_wav.shape[-1])
+        mse = jnp.mean(jnp.square(wav - tgt_wav))
+        reg = sum(
+            jnp.sum(1.0 - jnp.abs(2.0 * _h(v) - 1.0) ** beta)
+            for v in rv.values()
+        ) / sum(v.size for v in rv.values())
+        return mse + reg_weight * reg, (mse, reg)
+
+    opt = optax.multi_transform(
+        {"v": optax.adam(lr_v), "f": optax.adam(lr_f)},
+        ({k: "v" for k in rvars}, {k: "f" for k in fvars}),
+    )
+    opt_state = opt.init((rvars, fvars))
+
+    @jax.jit
+    def train_step(opt_vars, opt_state, spec, tgt, beta):
+        (loss, (mse, reg)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(opt_vars, spec, tgt, beta)
+        updates, opt_state = opt.update(grads, opt_state, opt_vars)
+        return optax.apply_updates(opt_vars, updates), opt_state, mse, reg
+
+    rng = np.random.default_rng(seed)
+    opt_vars = (rvars, fvars)
+    warm = max(steps // 5, 1)  # beta anneal starts after a free-move phase
+    for i in range(steps):
+        idx = rng.choice(len(noisy), size=batch_size, replace=True)
+        spec = stft(jnp.asarray(noisy[idx]), window)
+        frac = max(0.0, min(1.0, (i - warm) / max(steps - warm, 1)))
+        beta = beta_hi + (beta_lo - beta_hi) * frac
+        opt_vars, opt_state, mse, reg = train_step(
+            opt_vars, opt_state, spec, jnp.asarray(target[idx]),
+            jnp.float32(beta),
+        )
+        if log_every and (i + 1) % log_every == 0:
+            print(f"  adaround {i + 1}/{steps}  mse {float(mse):.3e}  "
+                  f"soft-frac {float(reg):.3f}  beta {beta:.1f}", flush=True)
+
+    rvars, fvars = opt_vars
+    # bake: hard-round every quantized weight, merge float corrections
+    baked = _bake_params(model, merge(fvars), rvars)
+    return baked, rvars
+
+
+def _unflatten_like(tree, flat: dict):
+    """Rebuild ``tree``'s structure from a {path: leaf} dict."""
+    paths = [
+        jax.tree_util.keystr(p, simple=True, separator="/")
+        for p, _ in jax.tree_util.tree_leaves_with_path(tree)
+    ]
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(tree), [flat[p] for p in paths]
+    )
+
+
+class _BakeHook:
+    """ctx.quant hook that records the HARD AdaRounded value of every
+    quantized weight (and passes activations through untouched)."""
+
+    def __init__(self, rvars):
+        self.rvars = rvars
+        self.baked: dict[str, jax.Array] = {}
+
+    def act(self, ctx, leaf, x):
+        return x
+
+    def weight(self, ctx, leaf, w, channel_axis):
+        path = ctx.path(leaf)
+        wq = soft_quant_weight(w, self.rvars[path], channel_axis, hard=True)
+        self.baked[path] = wq
+        return wq
+
+
+def _bake_params(model, params, rvars) -> Any:
+    """Replace each quantized weight leaf with its hard-rounded value.
+
+    The ctx scope path of a weight ("encoder/en2/pw1/w") does not always
+    match the params tree path ("encoder/en2/point_conv1/w"), so baking
+    runs the graph once with a recording hook and maps scope->tree by
+    shared prefix + layer-name alias + shape (asserted unique)."""
+    hook = _BakeHook(rvars)
+    ctx = Ctx()
+    ctx.quant = hook
+    spec = jnp.zeros((1, model.config.n_freqs, 2, 2), jnp.float32)
+    model._forward(params, spec, ctx)
+
+    flat = dict(
+        (jax.tree_util.keystr(p, simple=True, separator="/"), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(params)
+    )
+    used = set()
+    for spath, wq in hook.baked.items():
+        cands = [
+            k for k in flat
+            if k not in used
+            and flat[k].shape == wq.shape
+            and _scope_matches(spath, k)
+        ]
+        assert len(cands) == 1, f"ambiguous bake target {spath}: {cands}"
+        flat[cands[0]] = wq
+        used.add(cands[0])
+    return _unflatten_like(params, flat)
+
+
+_SCOPE_TO_TREE = {
+    "pw1": ("point_conv1", "conv1", "pw1"),
+    "pw2": ("point_conv2",),
+    "pw3": ("conv3",),
+    "conv": ("conv",),
+    "depth_conv": ("depth_conv", "conv2"),
+    "tra": ("tra",),
+}
+
+
+def _scope_matches(scope_path: str, tree_path: str) -> bool:
+    """True iff a ctx scope path and a params tree path name the same layer.
+
+    Both end in the same weight leaf; the scope's layer name maps to one of
+    a few tree aliases (Pointwise 'pw1' is stored under 'point_conv1' in
+    GTConvBlock but 'conv1' in TCN, etc.); all enclosing block scopes match
+    the tree path verbatim."""
+    s_parts = scope_path.split("/")
+    t_parts = tree_path.split("/")
+    if s_parts[-1] != t_parts[-1]:
+        return False
+    s_layer, t_layer = s_parts[-2], t_parts[-2]
+    if t_layer not in _SCOPE_TO_TREE.get(s_layer, (s_layer,)):
+        return False
+    return s_parts[:-2] == t_parts[:-2]
+
+
+def main(args=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument(
+        "--wav_dir",
+        default="/root/reference/gtcrn_micro/examples/gtcrn_micro",
+    )
+    parser.add_argument("--train_wavs", default="noisy1,noisy2,noisy3,noisy4")
+    parser.add_argument("--held_out", default="noisy5")
+    parser.add_argument("--steps", type=int, default=1500)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--lr_v", type=float, default=2e-2)
+    parser.add_argument("--lr_f", type=float, default=1e-4)
+    parser.add_argument("--reg_weight", type=float, default=1e-4)
+    parser.add_argument("--act_bits", type=int, default=8, choices=(8, 16))
+    parser.add_argument("--out_dir", default="/tmp/gtcrn_adaround")
+    ns = parser.parse_args(args)
+
+    from gtcrn_micro_tpu.eval.infer import load_params
+    from gtcrn_micro_tpu.io.wav import read_wav
+    from gtcrn_micro_tpu.models.gtcrn_micro import GTCRNMicro
+    from gtcrn_micro_tpu.quant.qat import (
+        build_distill_corpus,
+        calibrate_act_qparams,
+        enhance_fp32,
+        quant_wav_snr,
+    )
+
+    model = GTCRNMicro()
+    params = load_params(ns.checkpoint)
+    train_paths = [
+        os.path.join(ns.wav_dir, f"{n}.wav") for n in ns.train_wavs.split(",")
+    ]
+
+    print("building distillation corpus (fp32 targets) ...", flush=True)
+    noisy, target = build_distill_corpus(model, params, train_paths)
+    print(f"  {len(noisy)} segments of {noisy.shape[1] / 16000:.0f} s",
+          flush=True)
+    act_qp = calibrate_act_qparams(model, params, noisy, ns.act_bits)
+
+    held_wav, _ = read_wav(os.path.join(ns.wav_dir, f"{ns.held_out}.wav"))
+    if held_wav.ndim > 1:
+        held_wav = held_wav[:, 0]
+    held_target = enhance_fp32(model, params, held_wav)
+    seen_wav, _ = read_wav(train_paths[0])
+    if seen_wav.ndim > 1:
+        seen_wav = seen_wav[:, 0]
+    seen_target = enhance_fp32(model, params, seen_wav)
+
+    before_h = quant_wav_snr(model, params, act_qp, held_wav, held_target)
+    before_s = quant_wav_snr(model, params, act_qp, seen_wav, seen_target)
+    print(f"PTQ int{ns.act_bits} SNR vs fp32: train-wav {before_s:.1f} dB, "
+          f"held-out {before_h:.1f} dB", flush=True)
+
+    baked, _ = adaround_optimize(
+        model, params, noisy, target, act_qp,
+        steps=ns.steps, batch_size=ns.batch_size,
+        lr_v=ns.lr_v, lr_f=ns.lr_f, reg_weight=ns.reg_weight,
+    )
+
+    after_h = quant_wav_snr(model, baked, act_qp, held_wav, held_target)
+    after_s = quant_wav_snr(model, baked, act_qp, seen_wav, seen_target)
+    print(f"AdaRound int{ns.act_bits} SNR vs fp32: train-wav {after_s:.1f} dB,"
+          f" held-out {after_h:.1f} dB", flush=True)
+
+    os.makedirs(ns.out_dir, exist_ok=True)
+    from gtcrn_micro_tpu.utils.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(os.path.join(ns.out_dir, "checkpoints"))
+    mgr.save(ns.steps, {"params": jax.device_get(baked)})
+    mgr.close()
+    print(f"AdaRounded params saved to {ns.out_dir}/checkpoints", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -61,13 +61,24 @@ struct Reader {
     if (!f) throw std::runtime_error("truncated GTM8 file");
     return v;
   }
-  // one slot: either fp32 Tensor or per-channel int8 QTensor
+  // one slot: either fp32 Tensor or per-channel int8 QTensor.  Rank/dims
+  // are validated against small ceilings BEFORE any allocation so a
+  // corrupted artifact fails with the descriptive error below instead of a
+  // multi-GB resize/bad_alloc (the largest real tensor is the 192x64 ERB
+  // pair; 1<<20 elements leaves generous headroom for model variants).
   void Slot(Tensor* t, QTensor* q) {
     uint32_t rank = Scalar<uint32_t>();
+    if (rank > 8) throw std::runtime_error("invalid GTM8: rank > 8");
     std::vector<uint32_t> dims(rank);
     for (auto& d : dims) d = Scalar<uint32_t>();
     size_t n = 1;
-    for (auto d : dims) n *= d;
+    for (auto d : dims) {
+      if (d == 0 || d > (1u << 20))
+        throw std::runtime_error("invalid GTM8: bad tensor dim");
+      n *= d;
+    }
+    if (n > (1u << 20))
+      throw std::runtime_error("invalid GTM8: tensor too large");
     uint32_t dtype = Scalar<uint32_t>();
     if (dtype == 0) {
       if (!t) throw std::runtime_error("GTM8: unexpected fp32 slot");
@@ -78,6 +89,8 @@ struct Reader {
       if (!q) throw std::runtime_error("GTM8: unexpected int8 slot");
       q->dims = dims;
       uint32_t n_ch = Scalar<uint32_t>();
+      if (n_ch == 0 || n_ch > (1u << 16))
+        throw std::runtime_error("invalid GTM8: bad channel count");
       q->scale.resize(n_ch);
       f.read(reinterpret_cast<char*>(q->scale.data()), 4 * n_ch);
       q->data.resize(n);

@@ -97,11 +97,19 @@ bool WriteWav16(const char* path, const std::vector<float>& x, uint32_t fs) {
 // Multi-stream serving benchmark: n independent streams stepped through
 // StepBatch on zero spectra; reports us/frame/stream (the reference prints
 // one TFLM invoke time, esp32_s3/main/main.cc:150-160).
+// Quantized engines require InitState (rings start at the boundary zero
+// points, not raw 0 -- see gtcrn_micro.h); the fp32 engine's
+// default-constructed state is already valid.
 template <typename EngineT, typename StateT>
 void InitStates(const EngineT&, std::vector<StateT>&) {}
 template <>
 void InitStates(const gtcrn::EngineQ& e,
                 std::vector<gtcrn::StreamStateQ>& v) {
+  for (auto& s : v) e.InitState(s);
+}
+template <>
+void InitStates(const gtcrn::EngineQ16& e,
+                std::vector<gtcrn::StreamStateQ16>& v) {
   for (auto& s : v) e.InitState(s);
 }
 

@@ -1,0 +1,131 @@
+"""AdaRound unit tests: zero-error init, pin invariance, bake idempotence,
+and an end-to-end micro-optimization improving the int8 simulation.
+
+Reference context: the reference ships full-int8 as its deployment format
+(scripts/onnx2tf.sh:50-64) but never published its fidelity; AdaRound is
+this framework's answer to the weight-rounding error EVAL.md identified as
+dominant."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gtcrn_micro_tpu.models import GTCRNMicro
+from gtcrn_micro_tpu.quant.adaround import (
+    AdaRoundQuantizer,
+    _bake_params,
+    _h,
+    adaround_optimize,
+    init_rvars,
+    soft_quant_weight,
+)
+from gtcrn_micro_tpu.quant.fake_quant import fake_quant, weight_qparams
+from gtcrn_micro_tpu.quant.ptq import observe_ranges
+from gtcrn_micro_tpu.nn.core import Ctx
+from gtcrn_micro_tpu.quant.fake_quant import act_qparams
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = GTCRNMicro()
+    params = model.init(jax.random.PRNGKey(3))
+    rng = np.random.default_rng(0)
+    calib = jnp.asarray(
+        rng.standard_normal((2, 257, 8, 2)).astype(np.float32) * 0.3
+    )
+    ranges = observe_ranges(model, params, calib, batch_size=2)
+    act_qp = {
+        p: act_qparams(jnp.float32(lo), jnp.float32(hi), 8)
+        for p, (lo, hi) in ranges.items()
+    }
+    return model, params, act_qp
+
+
+def test_soft_quant_zero_error_init(setup):
+    """h(V_init) == remainder, so the soft-quantized weight equals the fp32
+    weight exactly at initialization (up to the clip at the grid ends)."""
+    model, params, act_qp = setup
+    rvars, axes = init_rvars(model, params, act_qp)
+    assert len(rvars) >= 40  # every conv/pw/tra weight registered
+    w = params["encoder"]["en2"]["point_conv1"]["w"]
+    v = rvars["encoder/en2/pw1/w"]
+    wq = soft_quant_weight(w, v, 1)
+    np.testing.assert_allclose(np.asarray(wq), np.asarray(w), atol=1e-6)
+
+
+def test_hard_bake_is_requant_idempotent(setup):
+    """Baked weights must survive re-observation: the exporters recompute
+    per-channel scales from the baked values, so quantize(bake) must give
+    back the same grid (abs-max pinning makes the scale invariant)."""
+    model, params, act_qp = setup
+    rvars, axes = init_rvars(model, params, act_qp)
+    # push some rounding vars to arbitrary corners to emulate training
+    rvars = {k: v + 3.0 * ((hash(k) % 3) - 1) for k, v in rvars.items()}
+    baked = _bake_params(model, params, rvars)
+
+    n_changed = 0
+    for (pa, wa), (pb, wb) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(baked),
+    ):
+        assert pa == pb
+        n_changed += int(not np.array_equal(np.asarray(wa), np.asarray(wb)))
+    assert n_changed >= 40  # the weights actually moved
+
+    def check(w, axis):
+        qp = weight_qparams(w, axis)
+        np.testing.assert_allclose(
+            np.asarray(fake_quant(w, qp)), np.asarray(w), atol=1e-6,
+            err_msg="baked weight not on its own re-observed grid",
+        )
+        # scale invariance vs the original weights
+        return qp
+
+    qp_b = check(baked["encoder"]["en2"]["point_conv1"]["w"], 1)
+    qp_o = weight_qparams(params["encoder"]["en2"]["point_conv1"]["w"], 1)
+    np.testing.assert_allclose(
+        np.asarray(qp_b.scale), np.asarray(qp_o.scale), rtol=1e-6,
+        err_msg="abs-max pinning failed: per-channel scale drifted",
+    )
+    check(baked["gtcn1"]["block0"]["conv2"]["w"], 3)
+    check(baked["decoder"]["de0"]["tra"]["depth_w"], 1)
+
+
+def test_h_saturates():
+    assert float(_h(jnp.float32(10.0))) == 1.0
+    assert float(_h(jnp.float32(-10.0))) == 0.0
+
+
+def test_adaround_micro_optimization_improves_int8(setup):
+    """A short joint optimization must not degrade -- and should improve --
+    the int8 sim's match to the fp32 output on the training signal."""
+    model, params, act_qp = setup
+    from gtcrn_micro_tpu.dsp.stft import istft, sqrt_hann_window, stft
+
+    rng = np.random.default_rng(1)
+    fs_len = 4096
+    noisy = rng.standard_normal((2, fs_len)).astype(np.float32) * 0.1
+    window = sqrt_hann_window(model.config.win_len)
+    spec = stft(jnp.asarray(noisy), window)
+    target = np.asarray(
+        istft(model.apply_jit(params, spec), window, length=fs_len)
+    )
+
+    def int8_mse(p):
+        from gtcrn_micro_tpu.quant.ptq import FakeQuantizer
+
+        ctx = Ctx()
+        ctx.quant = FakeQuantizer(act_qp)
+        out = model._forward(p, spec, ctx)
+        wav = np.asarray(istft(out, window, length=fs_len))
+        return float(np.mean((wav - target) ** 2))
+
+    before = int8_mse(params)
+    baked, _ = adaround_optimize(
+        model, params, noisy, target, act_qp,
+        steps=30, batch_size=2, log_every=0,
+    )
+    after = int8_mse(baked)
+    assert after < before * 1.05, (before, after)
