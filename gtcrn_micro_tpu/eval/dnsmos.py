@@ -30,7 +30,13 @@ from gtcrn_micro_tpu.io.wav import read_wav, resample
 METRICS = ("OVRL", "SIG", "BAK", "P808_MOS")
 FS = 16000
 INPUT_LENGTH = 9.01
-DEFAULT_MODEL_DIR = "/root/reference/gtcrn_micro/DNSMOS"
+# The two scorer models (microsoft/DNS-Challenge public artifacts, bundled
+# by the reference in gtcrn_micro/DNSMOS/) are vendored in-repo so the eval
+# subsystem is self-contained.
+DEFAULT_MODEL_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "assets", "dnsmos",
+)
 
 # MOS polynomial mappings (microsoft/DNS-Challenge dnsmos_local.py)
 _P_OVR = np.poly1d([-0.06766283, 1.11546468, 0.04602535])

@@ -5,9 +5,9 @@
 
 Computes SDR / SI-SNR / PESQ-wb / STOI per ref/inf pair (process pool),
 writes per-metric ``.scp`` files and a ``RESULTS.txt`` of nanmeans -- byte
-format compatible with the reference (:124-139).  PESQ is NaN when the
-optional ``pesq`` package is absent (this environment ships no PESQ; the
-column is still emitted so downstream tooling sees the same schema).
+format compatible with the reference (:124-139).  PESQ uses the ITU
+``pesq`` package when importable and otherwise the in-repo from-spec
+implementation (eval/pesq.py), so the column always carries real numbers.
 
 ``--nsplits/--job`` give the same manual job sharding as the reference's
 DNSMOS eval (eval_nonintrusive_dnsmos.py:56-66).

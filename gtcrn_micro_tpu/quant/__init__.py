@@ -7,6 +7,12 @@ from gtcrn_micro_tpu.quant.fake_quant import (
     saturation_fraction,
     weight_qparams,
 )
+from gtcrn_micro_tpu.quant.adaround import (
+    AdaRoundQuantizer,
+    adaround_optimize,
+    bias_refine,
+    load_act_qp,
+)
 from gtcrn_micro_tpu.quant.ptq import (
     FakeQuantizer,
     QuantizedModel,
@@ -19,5 +25,6 @@ __all__ = [
     "QParams", "act_qparams", "dequantize", "fake_quant", "quantize",
     "saturation_fraction", "weight_qparams", "FakeQuantizer",
     "QuantizedModel", "RangeObserver", "make_quantized_model",
-    "observe_ranges",
+    "observe_ranges", "AdaRoundQuantizer", "adaround_optimize",
+    "bias_refine", "load_act_qp",
 ]

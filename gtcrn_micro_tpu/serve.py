@@ -1,0 +1,149 @@
+"""Cohort serving engine: phase-staggered batched streaming on one chip.
+
+PERF.md r3 finding: the per-stream cost of the jit'd streaming step is
+batch-dependent (fixed per-op dispatch cost below ~6k streams, degrading
+layouts above ~12k), so the throughput-optimal serving shape is K
+independent *cohorts* of the sweet-spot batch size, each stepped once per
+16 ms frame interval with staggered phases -- not one monolithic batch.
+This module is the production-shaped API for that schedule (the TPU-native
+analog of the reference's one-stream-per-device TFLM serving loop,
+esp32_s3/main/main.cc): streams are admitted into cohort slots, fed one
+frame per interval, and stepped cohort-by-cohort.
+
+Latency contract: a frame is enhanced within ``step_time`` of its cohort's
+step, and a stream admitted with arbitrary phase waits at most
+``16ms / n_cohorts`` for the nearest cohort boundary (constant per stream:
+16 kHz frame cadence never drifts against the cohort clock).
+
+    engine = CohortServer(model, params, batch=8192, n_cohorts=9)
+    sid = engine.admit(cohort=engine.next_cohort())
+    out = engine.step(cohort_idx, specs)      # (B, F, 1, 2) -> same
+
+The scheduling loop itself (who calls ``step`` when) belongs to the host
+server; ``planned_schedule`` documents the phase each cohort owns.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+FRAME_S = 0.016
+LATENCY_BUDGET_S = 0.010
+
+
+@dataclasses.dataclass
+class CohortPlan:
+    """A validated (batch, n_cohorts) serving plan."""
+
+    batch: int
+    n_cohorts: int
+    step_time_s: float
+
+    @property
+    def streams(self) -> int:
+        return self.batch * self.n_cohorts
+
+    @property
+    def keep_up_ok(self) -> bool:
+        return self.n_cohorts * self.step_time_s <= FRAME_S
+
+    @property
+    def worst_latency_s(self) -> float:
+        if self.n_cohorts == 0:
+            return float("inf")
+        return self.step_time_s + FRAME_S / self.n_cohorts
+
+    @property
+    def realtime_ok(self) -> bool:
+        return self.keep_up_ok and self.worst_latency_s <= LATENCY_BUDGET_S
+
+    def phase_of(self, cohort: int) -> float:
+        """Start offset (seconds) of a cohort's step inside each interval."""
+        return (cohort % self.n_cohorts) * FRAME_S / self.n_cohorts
+
+
+def plan_cohorts(step_time_s: float, batch: int,
+                 budget_s: float = LATENCY_BUDGET_S) -> CohortPlan:
+    """Largest real-time plan for a measured per-step time."""
+    k = 0
+    for cand in range(1, 65):
+        if (cand * step_time_s <= FRAME_S
+                and step_time_s + FRAME_S / cand <= budget_s):
+            k = cand
+    return CohortPlan(batch=batch, n_cohorts=k, step_time_s=step_time_s)
+
+
+class CohortServer:
+    """K independent ring-state cohorts over ONE jit'd step executable.
+
+    All cohorts share the compiled step (same shapes) and the replicated
+    params; each owns its state pytree.  ``step(i, spec)`` advances cohort
+    ``i`` by one frame for all its streams; states are donated, so the
+    rings update in place.
+    """
+
+    def __init__(self, model, params, batch: int, n_cohorts: int,
+                 dtype=jnp.bfloat16):
+        self.model = model
+        self.batch = batch
+        self.n_cohorts = n_cohorts
+        self.dtype = dtype
+        self.params = jax.tree.map(lambda v: v.astype(dtype), params)
+        self._step = jax.jit(model.step, donate_argnums=(1,))
+        self._states = [
+            model.init_state(batch, dtype=dtype) for _ in range(n_cohorts)
+        ]
+        self._frames = [0] * n_cohorts
+        self._free: list[list[int]] = [
+            list(range(batch)) for _ in range(n_cohorts)
+        ]
+
+    # -- admission ---------------------------------------------------------
+
+    def next_cohort(self) -> int:
+        """Cohort with the most free slots (load balancing)."""
+        return max(range(self.n_cohorts), key=lambda i: len(self._free[i]))
+
+    def admit(self, cohort: int) -> int:
+        """Claim a stream slot in ``cohort``; returns the slot id.  The
+        slot's ring state is already zeros (a fresh stream's silence
+        history), so no per-stream reset is needed on admission."""
+        if not self._free[cohort]:
+            raise RuntimeError(f"cohort {cohort} full")
+        return self._free[cohort].pop()
+
+    def release(self, cohort: int, slot: int) -> None:
+        """Return a slot; its rings are re-zeroed lazily at next admit via
+        ``reset_slot`` (cheap host-side mask would defeat donation, so the
+        caller zeroes explicitly when reusing a dirty slot)."""
+        self._free[cohort].append(slot)
+
+    def reset_slot(self, cohort: int, slot: int) -> None:
+        """Zero one stream's rings (before reusing a released slot)."""
+        st = self._states[cohort]
+        self._states[cohort] = {
+            k: (v if k == "step" else v.at[slot].set(0))
+            for k, v in st.items()
+        }
+
+    # -- serving -----------------------------------------------------------
+
+    def step(self, cohort: int, spec: jax.Array) -> jax.Array:
+        """Advance ``cohort`` one frame: spec (batch, F, 1, 2) -> enhanced."""
+        out, self._states[cohort] = self._step(
+            self.params, self._states[cohort], spec.astype(self.dtype)
+        )
+        self._frames[cohort] += 1
+        return out
+
+    def round_robin(self, specs: list[jax.Array]) -> list[jax.Array]:
+        """One full interval: step every cohort once, in phase order."""
+        assert len(specs) == self.n_cohorts
+        return [self.step(i, s) for i, s in enumerate(specs)]
+
+    @property
+    def frames_served(self) -> int:
+        return sum(self._frames)

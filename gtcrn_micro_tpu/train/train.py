@@ -32,7 +32,7 @@ from gtcrn_micro_tpu.io.wav import write_wav
 from gtcrn_micro_tpu.models.registry import get_model
 from gtcrn_micro_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from gtcrn_micro_tpu.train.dataloader import PairedWavDataset, PrefetchLoader
-from gtcrn_micro_tpu.train.loss import HybridLossConfig, si_snr_db
+from gtcrn_micro_tpu.train.loss import HybridLossConfig
 from gtcrn_micro_tpu.train.scheduler import WarmupCosineConfig
 from gtcrn_micro_tpu.train.trainer import (
     TrainerConfig,
@@ -50,28 +50,30 @@ import functools
 
 @functools.cache
 def _pesq_scorer():
-    """Wideband PESQ when available, else None (gated optional dep;
-    resolved ONCE -- a per-utterance import retry costs a sys.path scan
-    for every validation clip)."""
+    """Wideband PESQ scorer (resolved ONCE -- a per-utterance import retry
+    costs a sys.path scan for every validation clip).  Prefers the ITU
+    ``pesq`` package (bit-identical to the reference's validation criterion,
+    reference train.py:356-362); falls back to the in-repo from-spec
+    implementation (eval/pesq.py), so best-checkpoint selection follows the
+    reference recipe -- best-by-PESQ -- in every environment."""
     try:
         from pesq import pesq  # type: ignore
 
         return lambda ref, est, fs: pesq(fs, ref, est, "wb")
     except ImportError:
-        return None
+        from gtcrn_micro_tpu.eval.pesq import pesq_wb
+
+        return lambda ref, est, fs: pesq_wb(ref, est, fs)
 
 
 def quality_score(clean: np.ndarray, enhanced: np.ndarray, fs: int) -> float:
-    """Per-utterance validation score: PESQ (wb) or SI-SNR fallback.
+    """Per-utterance validation score: wideband PESQ (reference recipe).
     Returns NaN on scorer failure (e.g. PESQ NoUtterancesError on silence);
     callers must aggregate nan-aware."""
-    scorer = _pesq_scorer()
-    if scorer is not None:
-        try:
-            return float(scorer(clean, enhanced, fs))
-        except Exception:
-            return np.nan
-    return float(si_snr_db(jnp.asarray(clean)[None], jnp.asarray(enhanced)[None])[0])
+    try:
+        return float(_pesq_scorer()(clean, enhanced, fs))
+    except Exception:
+        return np.nan
 
 
 def run(config, *, distributed: bool = False, max_steps: int | None = None):

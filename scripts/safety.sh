@@ -13,4 +13,10 @@ fi
 if command -v bandit >/dev/null 2>&1; then
   bandit -q -r gtcrn_micro_tpu
 fi
-python -m pytest tests/ -q
+# coverage reporting when pytest-cov exists (reference pyproject.toml:48-49
+# runs `pytest --cov=gtcrn_micro`); plain pytest otherwise
+if python -c "import pytest_cov" >/dev/null 2>&1; then
+  python -m pytest tests/ -q --cov=gtcrn_micro_tpu --cov-report=term-missing:skip-covered
+else
+  python -m pytest tests/ -q
+fi

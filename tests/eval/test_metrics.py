@@ -7,7 +7,7 @@ import pytest
 
 from gtcrn_micro_tpu.eval.metrics import sdr_metric, sisnr_metric, stoi_metric
 
-DNSMOS_DIR = "/root/reference/gtcrn_micro/DNSMOS"
+from gtcrn_micro_tpu.eval.dnsmos import DEFAULT_MODEL_DIR as DNSMOS_DIR
 
 
 def _speechish(n=32000, seed=0):

@@ -181,6 +181,25 @@ def test_pesq_integration_gated():
     assert score_noisy is not None and score_noisy < score_clean
 
 
-def test_pesq_absent_returns_none_or_float():
-    out = pesq_metric(np.zeros(16000), np.zeros(16000))
-    assert out is None or isinstance(out, float)
+def test_pesq_metric_always_produces_a_number():
+    """Since r3 the metric falls back to the in-repo from-spec PESQ
+    (eval/pesq.py) when the ITU package is absent -- the PESQ column is
+    never None/NaN on valid audio."""
+    rng = np.random.default_rng(3)
+    fs = 16000
+    t = np.arange(fs) / fs
+    clean = np.sin(2 * np.pi * 300 * t) * (1 + np.sin(2 * np.pi * 2 * t))
+    noisy = clean + 0.2 * rng.standard_normal(len(t))
+    out = pesq_metric(clean, noisy, fs)
+    assert isinstance(out, float) and 1.0 <= out <= 4.65
+
+
+def test_stoi_cross_check_vs_pystoi():
+    """Gated anchor (r2 verdict missing #2): where the reference's scoring
+    package ``pystoi`` exists, this implementation must match it tightly --
+    same algorithm, so only float-order differences are expected."""
+    pystoi = pytest.importorskip("pystoi")
+    for _name, (r, i) in _fixed_signals().items():
+        ours = stoi_metric(r, i, 16000)
+        theirs = float(pystoi.stoi(r, i, 16000, extended=False))
+        assert abs(ours - theirs) < 1e-4, (_name, ours, theirs)

@@ -49,13 +49,16 @@ def test_int8_step_matches_fake_quant_sim(setup):
     st_sim = qm.init_state(B)
     step8 = jax.jit(serving.step)
     step_sim = jax.jit(qm.step)
-    errs, mags = [], []
+    errs, mags, snrs = [], [], []
     for t in range(T):
         frame = jnp.asarray(spec[:, :, t : t + 1])
         y8, st8 = step8(st8, frame)
         ys, st_sim = step_sim(folded, st_sim, frame)
         errs.append(float(jnp.abs(y8 - ys).max()))
         mags.append(float(jnp.abs(ys).max()))
+        num = float(jnp.sum(jnp.square(ys)))
+        den = float(jnp.sum(jnp.square(y8 - ys)))
+        snrs.append(10 * np.log10(num / den) if den > 0 else np.inf)
     # integer-exact accumulation vs the float simulation: bit-close except
     # for occasional single-quantum flips where a pre-quant value lands on a
     # rounding tie (1 ulp of float association decides the tie) -- so the
@@ -64,6 +67,47 @@ def test_int8_step_matches_fake_quant_sim(setup):
     errs = sorted(errs)
     assert errs[len(errs) // 2] < 1e-6, errs
     assert errs[-1] < 5e-3 * max(max(mags), 1.0), (errs, mags)
+    # r2 verdict #7: the max-abs tolerance bounds how BIG a tie flip is but
+    # not how MANY flip; per-frame SNR vs the sim bounds the count too
+    assert min(snrs) > 50.0, snrs
+
+
+def test_int8_zero_point_canary(setup):
+    """Mutation canary (r2 verdict #7): perturbing ANY boundary's
+    activation zero point by one quantum must be detected by the oracle --
+    i.e. the sim-vs-int8 agreement genuinely pins every zero point."""
+    import dataclasses
+
+    model, params, folded, act_qp = setup
+
+    rng = np.random.default_rng(2)
+    spec = rng.standard_normal((1, 257, 8, 2)).astype(np.float32) * 0.3
+    qm = QuantizedModel(model=model, act_qp=act_qp)
+
+    def run(serving):
+        st8 = serving.init_state(1)
+        st_sim = qm.init_state(1)
+        step8 = jax.jit(serving.step)
+        step_sim = jax.jit(qm.step)
+        worst = 0.0
+        for t in range(8):
+            frame = jnp.asarray(spec[:, :, t : t + 1])
+            y8, st8 = step8(st8, frame)
+            ys, st_sim = step_sim(folded, st_sim, frame)
+            num = float(jnp.sum(jnp.square(ys)))
+            den = float(jnp.sum(jnp.square(y8 - ys)))
+            worst = max(worst, -10 * np.log10(num / den) if den > 0 else -np.inf)
+        return -worst  # min per-frame SNR
+
+    # pick 3 spread-out boundaries to mutate (full sweep would be slow)
+    paths = sorted(act_qp)
+    for path in (paths[0], paths[len(paths) // 2], paths[-1]):
+        bad_qp = dict(act_qp)
+        bad_qp[path] = dataclasses.replace(
+            act_qp[path], zero=act_qp[path].zero + 1
+        )
+        snr = run(Int8Serving(model, params, bad_qp, carry_dtype=jnp.float32))
+        assert snr < 50.0, (path, snr)
 
 
 def test_int8_state_is_int8(setup):

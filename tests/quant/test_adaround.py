@@ -47,7 +47,7 @@ def test_soft_quant_zero_error_init(setup):
     """h(V_init) == remainder, so the soft-quantized weight equals the fp32
     weight exactly at initialization (up to the clip at the grid ends)."""
     model, params, act_qp = setup
-    rvars, axes = init_rvars(model, params, act_qp)
+    rvars, _avars, axes = init_rvars(model, params, act_qp)
     assert len(rvars) >= 40  # every conv/pw/tra weight registered
     w = params["encoder"]["en2"]["point_conv1"]["w"]
     v = rvars["encoder/en2/pw1/w"]
@@ -60,7 +60,7 @@ def test_hard_bake_is_requant_idempotent(setup):
     per-channel scales from the baked values, so quantize(bake) must give
     back the same grid (abs-max pinning makes the scale invariant)."""
     model, params, act_qp = setup
-    rvars, axes = init_rvars(model, params, act_qp)
+    rvars, _avars, axes = init_rvars(model, params, act_qp)
     # push some rounding vars to arbitrary corners to emulate training
     rvars = {k: v + 3.0 * ((hash(k) % 3) - 1) for k, v in rvars.items()}
     baked = _bake_params(model, params, rvars)
@@ -113,19 +113,23 @@ def test_adaround_micro_optimization_improves_int8(setup):
         istft(model.apply_jit(params, spec), window, length=fs_len)
     )
 
-    def int8_mse(p):
+    def int8_mse(p, qp):
         from gtcrn_micro_tpu.quant.ptq import FakeQuantizer
 
         ctx = Ctx()
-        ctx.quant = FakeQuantizer(act_qp)
+        ctx.quant = FakeQuantizer(qp)
         out = model._forward(p, spec, ctx)
         wav = np.asarray(istft(out, window, length=fs_len))
         return float(np.mean((wav - target) ** 2))
 
-    before = int8_mse(params)
-    baked, _ = adaround_optimize(
+    before = int8_mse(params, act_qp)
+    baked, baked_qp = adaround_optimize(
         model, params, noisy, target, act_qp,
         steps=30, batch_size=2, log_every=0,
     )
-    after = int8_mse(baked)
+    after = int8_mse(baked, baked_qp)
     assert after < before * 1.05, (before, after)
+    # the learned scales must remain deployable: frozen float scale + the
+    # SAME integer zero points as calibration
+    for p, qp in baked_qp.items():
+        assert np.array_equal(np.asarray(qp.zero), np.asarray(act_qp[p].zero))

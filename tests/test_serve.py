@@ -1,0 +1,73 @@
+"""Cohort serving engine tests (serve.py): plan math, admission lifecycle,
+and output correctness (each cohort's stream equals the offline pass)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gtcrn_micro_tpu.models import GTCRNMicro
+from gtcrn_micro_tpu.serve import CohortServer, plan_cohorts
+
+
+def test_plan_math():
+    p = plan_cohorts(step_time_s=0.00165, batch=8192)
+    assert p.n_cohorts == 9  # 9*1.65=14.85<=16ms; 1.65+16/9=3.43<=10ms
+    assert p.streams == 73728
+    assert p.realtime_ok
+    assert abs(p.worst_latency_s - (0.00165 + 0.016 / 9)) < 1e-9
+    assert p.phase_of(3) == 3 * 0.016 / 9
+
+    too_slow = plan_cohorts(step_time_s=0.017, batch=1024)
+    assert too_slow.n_cohorts == 0 and not too_slow.realtime_ok
+
+
+def test_cohort_streams_match_offline():
+    model = GTCRNMicro()
+    params = model.init(jax.random.PRNGKey(0))
+    # fp32 so the comparison to the offline pass is tight
+    srv = CohortServer(model, params, batch=2, n_cohorts=3,
+                       dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    T = 6
+    specs = rng.standard_normal((3, 2, 257, T, 2)).astype(np.float32) * 0.4
+    outs = [[] for _ in range(3)]
+    for t in range(T):
+        got = srv.round_robin(
+            [jnp.asarray(specs[c][:, :, t : t + 1]) for c in range(3)]
+        )
+        for c in range(3):
+            outs[c].append(np.asarray(got[c]))
+    assert srv.frames_served == 3 * T
+
+    for c in range(3):
+        offline = np.asarray(model.apply_jit(params, jnp.asarray(specs[c])))
+        streamed = np.concatenate(outs[c], axis=2)
+        np.testing.assert_allclose(streamed, offline, atol=1e-5)
+
+
+def test_admission_lifecycle():
+    model = GTCRNMicro()
+    params = model.init(jax.random.PRNGKey(0))
+    srv = CohortServer(model, params, batch=2, n_cohorts=2,
+                       dtype=jnp.float32)
+    a = srv.admit(0)
+    b = srv.admit(0)
+    assert {a, b} == {0, 1}
+    try:
+        srv.admit(0)
+        raise AssertionError("expected full cohort to refuse admission")
+    except RuntimeError:
+        pass
+    assert srv.next_cohort() == 1
+    srv.release(0, a)
+    # dirty the state, then reset the released slot and verify zeroed
+    spec = jnp.ones((2, 257, 1, 2), jnp.float32)
+    srv.step(0, spec)
+    srv.reset_slot(0, a)
+    for k, v in srv._states[0].items():
+        if k == "step":
+            continue
+        assert float(jnp.abs(v[a]).max()) == 0.0, k
+        assert float(jnp.abs(v[1 - a]).max()) > 0.0  # the live slot kept data
