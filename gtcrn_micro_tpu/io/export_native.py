@@ -116,9 +116,15 @@ def export_native_weights_int8(params, act_qp: dict, path: str) -> int:
     yields the full-int8 artifact (the reference's deployment format),
     ``act_bits=16`` the 16x8 mode (int16 activations / int8 weights,
     TFLite's high-dynamic-range variant and the quality-viable quantized
-    mode for this model, EVAL.md).  Weights are BN-folded THEN quantized per
-    out-channel -- the TFLite fold-then-quantize order, which is also what
-    the native integer kernels execute.  Returns the tensor count."""
+    mode for this model, EVAL.md).  A MIXED act_qp (some boundaries int8,
+    some int16, e.g. from quant/mixed.py greedy lifting) emits the v2
+    layout: header act_bits=0 and a per-boundary bits field before each
+    qparam pair; the native int16 engine executes it (int8-boundary values
+    clamp to the int8 grid inside int16 storage -- numerics identical to a
+    pure-int8 engine at those boundaries).  Weights are BN-folded THEN
+    quantized per out-channel -- the TFLite fold-then-quantize order, which
+    is also what the native integer kernels execute.  Returns the tensor
+    count."""
     from gtcrn_micro_tpu.ops.fused_step import pack_weights
 
     tensors = [np.asarray(w, np.float32) for w in pack_weights(params)]
@@ -128,12 +134,20 @@ def export_native_weights_int8(params, act_qp: dict, path: str) -> int:
     missing = [p for p in order if p not in act_qp]
     if missing:
         raise KeyError(f"act_qp missing paths: {missing[:3]}...")
-    qmaxes = {int(act_qp[p].qmax) for p in order}
-    assert qmaxes in ({127}, {32767}), (
-        f"mixed/unknown act qmax values {qmaxes}: GTM8 needs uniform "
-        "act_bits 8 or 16"
-    )
-    act_bits = 8 if qmaxes == {127} else 16
+
+    def bits_of(p: str) -> int:
+        qmax = int(act_qp[p].qmax)
+        if qmax == 127:
+            return 8
+        if qmax == 32767:
+            return 16
+        raise ValueError(f"unsupported act qmax {qmax} at {p}")
+
+    per_bits = [bits_of(p) for p in order]
+    uniform = len(set(per_bits)) == 1
+    # header act_bits: 8/16 = uniform (v1 layout, back-compatible);
+    # 0 = MIXED precision (v2 layout: per-boundary bits precede each qparam)
+    act_bits = per_bits[0] if uniform else 0
 
     with open(path, "wb") as f:
         f.write(struct.pack("<II", MAGIC_INT8, len(tensors)))
@@ -149,8 +163,10 @@ def export_native_weights_int8(params, act_qp: dict, path: str) -> int:
                 f.write(scale.astype("<f4").tobytes())
                 f.write(q.tobytes())
         f.write(struct.pack("<II", act_bits, len(order)))
-        for p in order:
+        for p, bits in zip(order, per_bits):
             qp = act_qp[p]
+            if not uniform:
+                f.write(struct.pack("<I", bits))
             f.write(struct.pack("<fi", float(qp.scale), int(qp.zero)))
     return len(tensors)
 

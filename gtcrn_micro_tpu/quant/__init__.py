@@ -13,6 +13,10 @@ from gtcrn_micro_tpu.quant.adaround import (
     bias_refine,
     load_act_qp,
 )
+from gtcrn_micro_tpu.quant.mixed import (
+    compose_act_qp,
+    greedy_lift,
+)
 from gtcrn_micro_tpu.quant.ptq import (
     FakeQuantizer,
     QuantizedModel,
@@ -26,5 +30,5 @@ __all__ = [
     "saturation_fraction", "weight_qparams", "FakeQuantizer",
     "QuantizedModel", "RangeObserver", "make_quantized_model",
     "observe_ranges", "AdaRoundQuantizer", "adaround_optimize",
-    "bias_refine", "load_act_qp",
+    "bias_refine", "load_act_qp", "compose_act_qp", "greedy_lift",
 ]

@@ -52,14 +52,17 @@ class NativeEngine:
     artifact (io/export_native.export_native_weights_int8) through the int8
     engine -- the deployment format analog of the reference's int8 .tflite +
     TFLM (esp32_s3/main/main.cc).  ``quant="int16"`` selects the 16x8 engine
-    for an act_bits=16 artifact (int16 activations / int8 weights)."""
+    for an act_bits=16 artifact (int16 activations / int8 weights);
+    ``quant="mixed"`` is an alias for the same engine, which also executes
+    GTM8 v2 mixed-precision artifacts (per-boundary 8/16 act bits)."""
 
     def __init__(self, weights_path: str, lib_path: str | None = None,
                  int8: bool = False, quant: str | None = None):
         lib_path = lib_path or build_native()
         self._lib = ctypes.CDLL(lib_path)
         quant = quant or ("int8" if int8 else None)
-        p = {None: "gtm_", "int8": "gtm_q", "int16": "gtm_q16"}[quant]
+        p = {None: "gtm_", "int8": "gtm_q", "int16": "gtm_q16",
+             "mixed": "gtm_q16"}[quant]
         self._fn = {
             name: getattr(self._lib, f"{p}{name}")
             for name in (

@@ -125,6 +125,12 @@ struct QTensor {
 struct ActQ {  // activation qparams: x ~ (q - zero) * scale
   float scale = 1.f;
   int32_t zero = 0;
+  // clamp bounds of this boundary's integer grid (int8: [-128,127];
+  // int16: [-32768,32767]).  Mixed-precision artifacts (GTM8 v2,
+  // io/export_native.py) carry per-boundary bounds; uniform artifacts get
+  // them from the global act_bits at load.
+  float qlo = -128.f;
+  float qhi = 127.f;
 };
 
 struct GTConvQ {
@@ -156,7 +162,10 @@ struct WeightsQ {
   std::array<GTConvQ, 3> enc;
   std::array<GTConvQ, 3> dec;
   std::array<TcnQ, 8> tcn;
-  uint32_t act_bits = 8;  // 8 = full-int8; 16 = TFLite-style 16x8 mode
+  // 8 = full-int8; 16 = TFLite-style 16x8 mode; 0 = MIXED per-boundary
+  // precision (GTM8 v2: int16 at the quality-binding boundaries, int8
+  // elsewhere -- runs on the int16 engine)
+  uint32_t act_bits = 8;
 
   static WeightsQ Load(const std::string& path);  // throws on error
 };

@@ -29,14 +29,15 @@ constexpr uint32_t kMagicQ = 0x47544D38;  // "GTM8"
 float Prelu(float x, float a) { return x > 0 ? x : a * x; }
 
 // quantize one activation value; nearbyint = round-half-even, matching the
-// JAX simulation's jnp.round exactly.
+// JAX simulation's jnp.round exactly.  Clamps to the BOUNDARY's grid (q.qlo
+// .. q.qhi), not TAct's: in a mixed-precision artifact an int8 boundary
+// executed by the int16 engine must clip at +/-127 exactly like a pure-int8
+// engine would (CheckActBits guarantees the bounds fit TAct).
 template <typename TAct>
 inline TAct QuantAct(float x, const ActQ& q) {
-  constexpr float lo = static_cast<float>(std::numeric_limits<TAct>::min());
-  constexpr float hi = static_cast<float>(std::numeric_limits<TAct>::max());
   float v = std::nearbyint(x / q.scale) + static_cast<float>(q.zero);
-  if (v < lo) v = lo;
-  if (v > hi) v = hi;
+  if (v < q.qlo) v = q.qlo;
+  if (v > q.qhi) v = q.qhi;
   return static_cast<TAct>(v);
 }
 
@@ -426,9 +427,10 @@ WeightsQ WeightsQ::Load(const std::string& path) {
   w.de4.b = r.F32();
 
   // activation qparams: bit width, then (scale, zero) in traversal order
-  // (io/export_native.act_path_order)
+  // (io/export_native.act_path_order).  act_bits 0 = MIXED (v2 layout: a
+  // per-boundary bits field precedes each qparam pair).
   w.act_bits = r.Scalar<uint32_t>();
-  if (w.act_bits != 8 && w.act_bits != 16) {
+  if (w.act_bits != 8 && w.act_bits != 16 && w.act_bits != 0) {
     throw std::runtime_error("GTM8: unsupported act_bits " +
                              std::to_string(w.act_bits));
   }
@@ -463,7 +465,20 @@ WeightsQ WeightsQ::Load(const std::string& path) {
   }
   slots[i++] = &w.de3.in;
   slots[i++] = &w.de4.in;
-  for (int j = 0; j < 59; ++j) *slots[j] = r.Act();
+  for (int j = 0; j < 59; ++j) {
+    uint32_t bits = w.act_bits;
+    if (bits == 0) {  // mixed: per-boundary bits field
+      bits = r.Scalar<uint32_t>();
+      if (bits != 8 && bits != 16) {
+        throw std::runtime_error("GTM8: bad per-boundary act bits " +
+                                 std::to_string(bits));
+      }
+    }
+    ActQ a = r.Act();
+    a.qlo = bits == 8 ? -128.f : -32768.f;
+    a.qhi = bits == 8 ? 127.f : 32767.f;
+    *slots[j] = a;
+  }
   return w;
 }
 
@@ -480,10 +495,14 @@ StreamStateQT<TAct>::StreamStateQT() {
 
 template <typename TAct>
 void EngineQT<TAct>::CheckActBits() const {
-  if (w_.act_bits != 8 * sizeof(TAct)) {
+  // uniform artifacts bind to the matching engine; MIXED artifacts
+  // (act_bits=0) need int16 storage for their widest boundaries
+  const uint32_t want = w_.act_bits == 0 ? 16 : w_.act_bits;
+  if (want != 8 * sizeof(TAct)) {
     throw std::runtime_error(
         "GTM8 artifact has act_bits=" + std::to_string(w_.act_bits) +
-        "; this engine expects " + std::to_string(8 * sizeof(TAct)));
+        (w_.act_bits == 0 ? " (mixed)" : "") + "; this engine expects " +
+        std::to_string(8 * sizeof(TAct)));
   }
 }
 

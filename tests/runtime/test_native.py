@@ -203,6 +203,53 @@ def test_cli_int8_and_bench(native_int8, tmp_path):
     assert "us/frame/stream" in res.stdout
 
 
+def test_native_mixed_matches_sim(native):
+    """GTM8 v2 mixed-precision artifact (per-boundary 8/16 act bits): the
+    int16 engine must reproduce the mixed fake-quant simulation exactly --
+    including int8-grid CLIPPING at the unlifted boundaries -- and the int8
+    engine must reject the artifact loudly."""
+    from gtcrn_micro_tpu.io.export_native import export_native_weights_int8
+    from gtcrn_micro_tpu.models.folding import fold_bn_params
+    from gtcrn_micro_tpu.quant.mixed import compose_act_qp
+    from gtcrn_micro_tpu.quant.ptq import QuantizedModel, observe_ranges
+    from gtcrn_micro_tpu.runtime.native import NativeEngine
+
+    model, params, _wpath, _eng = native
+    folded = fold_bn_params(params)
+    rng = np.random.default_rng(10)
+    calib = jnp.asarray(
+        rng.standard_normal((4, 257, 16, 2)).astype(np.float32) * 0.3
+    )
+    ranges = observe_ranges(model, folded, calib, batch_size=4)
+    # lift a spread of boundaries: first conv, a ring-feeding depthwise, a
+    # TRA energy (integer ring at int16 while its block's gate stays int8),
+    # and the final mask conv
+    lifted = {"encoder/en0/conv/in", "encoder/en3/depth_conv/in",
+              "decoder/de1/tra/energy", "decoder/de4/conv/in"}
+    act_qp = compose_act_qp(ranges, lifted)
+
+    import tempfile
+
+    wpath_m = tempfile.mktemp(suffix="_mixed.bin")
+    export_native_weights_int8(folded, act_qp, wpath_m)
+    with pytest.raises(RuntimeError):
+        NativeEngine(wpath_m, int8=True)  # int8 engine: loud reject
+    eng_m = NativeEngine(wpath_m, quant="mixed")
+
+    qm = QuantizedModel(model=model, act_qp=act_qp)
+    spec = rng.standard_normal((1, 257, 20, 2)).astype(np.float32) * 0.3
+    state = qm.init_state(1)
+    errs, mags = [], []
+    for t in range(20):  # past the ring wrap
+        y_sim, state = qm.step(folded, state,
+                               jnp.asarray(spec[:, :, t : t + 1]))
+        y_nat = eng_m.step(spec[0, :, t, :])
+        errs.append(np.abs(np.asarray(y_sim)[0, :, 0, :] - y_nat).max())
+        mags.append(np.abs(np.asarray(y_sim)).max())
+    assert max(errs) < 5e-4 * max(max(mags), 1.0), (errs, mags)
+    os.unlink(wpath_m)
+
+
 def test_native_16x8_matches_sim_and_tracks_fp32(native):
     """16x8 mode (int16 acts / int8 weights): parity vs the act_bits=16
     fake-quant simulation AND close to the fp32 engine on in-distribution
