@@ -196,6 +196,11 @@ def main(args=None) -> None:
     parser.add_argument("--out_dir", default="/tmp/gtcrn_mixed")
     ns = parser.parse_args(args)
 
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/gtcrn_micro_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
     from gtcrn_micro_tpu.eval.infer import load_params
     from gtcrn_micro_tpu.io.export_native import export_native_weights_int8
     from gtcrn_micro_tpu.io.wav import read_wav

@@ -5,7 +5,7 @@ The reference's README leaves its TFLite (int8) quality rows as "..."
 enhance the 5 shipped noisy wavs per path, score wb-PESQ (eval/pesq.py)
 using the fp32 enhancement as the reference signal.
 
-Usage: python scripts/pesq_quant_paths.py [adaround_dir]
+Usage: python scripts/pesq_quant_paths.py [adaround_dir] [mixed_dir]
 """
 
 from __future__ import annotations
@@ -102,6 +102,26 @@ def main() -> None:
         far = jax.jit(fwd_ar)
         paths["int8 AdaRound+LSQ"] = {
             i: enhance(lambda p, s: far(p, s), baked, w)
+            for i, w in wavs.items()
+        }
+
+    # mixed 16/8 artifact (quant/mixed.py pipeline output: greedy-lifted
+    # boundaries at int16, joint AdaRound reopt on the mixed grid)
+    mx_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/gtcrn_mixed"
+    if os.path.exists(os.path.join(mx_dir, "baked.npz")):
+        from gtcrn_micro_tpu.quant.mixed import _load_params_npz
+
+        baked_m = _load_params_npz(folded, os.path.join(mx_dir, "baked.npz"))
+        aqp_m = load_act_qp(os.path.join(mx_dir, "act_qp.npz"))
+
+        def fwd_mx(p, s):
+            ctx = Ctx()
+            ctx.quant = FakeQuantizer(aqp_m)
+            return model._forward(p, s, ctx)
+
+        fmx = jax.jit(fwd_mx)
+        paths["mixed 16/8 AdaRound"] = {
+            i: enhance(lambda p, s: fmx(p, s), baked_m, w)
             for i, w in wavs.items()
         }
 
