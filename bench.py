@@ -6,6 +6,10 @@ phases staggered so each cohort's step starts right after its frames arrive
 (the standard batching-window pattern; the reference's ESP32/TFLM deployment
 serves ONE stream per device, gtcrn_micro/esp32_s3/main/main.cc).
 
+The step measured here is AUDIO-in -> AUDIO-out: online STFT -> model ->
+online iSTFT fused into one executable (dsp/stream_dsp.py, MXU-DFT path) --
+the complete per-frame pipeline, with nothing externalized to the host.
+
 A config is real-time iff BOTH hold with the MEASURED round-robin step time:
 
 - keep-up:  K * step <= 16 ms   (every stream gets its frame each interval)
@@ -48,27 +52,47 @@ def max_cohorts(step_s: float) -> int:
     )
 
 
+def _audio_step(model, dtype):
+    """(jitted audio step, fresh-state factory) -- the served executable:
+    online STFT -> model streaming step -> online iSTFT (MXU-DFT form)."""
+    from gtcrn_micro_tpu.dsp.stft import sqrt_hann_window
+    from gtcrn_micro_tpu.dsp.stream_dsp import DspState, make_audio_step
+
+    window = sqrt_hann_window(model.config.win_len)
+    step = jax.jit(make_audio_step(model, window, dft="mxu"),
+                   donate_argnums=(1, 2))
+
+    def fresh(batch):
+        dsp = DspState(
+            in_buf=jnp.zeros((batch, model.config.hop_len), dtype),
+            ola_buf=jnp.zeros((batch, model.config.hop_len), dtype),
+        )
+        return dsp, model.init_state(batch, dtype=dtype)
+
+    return step, fresh
+
+
 def measure_step_latency(model, params, batch: int, *, chain: int = 160,
                          repeats: int = 3, rtt: float = 0.0,
                          dtype=jnp.bfloat16) -> tuple[float, float, float]:
-    """(median, min, max) steady-state seconds per streaming step at
+    """(median, min, max) steady-state seconds per audio streaming step at
     ``batch`` concurrent streams, over ``repeats`` chains of ``chain``
     sequentially-dependent donated-state steps."""
-    state = model.init_state(batch, dtype=dtype)
-    spec = jnp.zeros((batch, model.config.n_freqs, 1, 2), dtype)
-    step = jax.jit(model.step, donate_argnums=(1,))
+    step, fresh = _audio_step(model, dtype)
+    dsp, state = fresh(batch)
+    chunk = jnp.zeros((batch, model.config.hop_len), dtype)
 
-    out, state = step(params, state, spec)  # compile
+    out, dsp, state = step(params, dsp, state, chunk)  # compile
     _sync(out)
     for _ in range(4):
-        out, state = step(params, state, spec)
+        out, dsp, state = step(params, dsp, state, chunk)
     _sync(out)
 
     lats = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         for _ in range(chain):
-            out, state = step(params, state, spec)
+            out, dsp, state = step(params, dsp, state, chunk)
         _sync(out)
         elapsed = time.perf_counter() - t0 - rtt
         lats.append(max(elapsed, 1e-9) / chain)
@@ -81,11 +105,12 @@ def measure_round_robin(model, params, batch: int, k: int, *,
                         rtt: float = 0.0, dtype=jnp.bfloat16) -> float:
     """Median seconds per cohort step when K independent states are stepped
     round-robin (the actual serving schedule, not a single-chain proxy)."""
-    spec = jnp.zeros((batch, model.config.n_freqs, 1, 2), dtype)
-    step = jax.jit(model.step, donate_argnums=(1,))
-    states = [model.init_state(batch, dtype=dtype) for _ in range(k)]
+    step, fresh = _audio_step(model, dtype)
+    chunk = jnp.zeros((batch, model.config.hop_len), dtype)
+    states = [fresh(batch) for _ in range(k)]
     for i in range(k):
-        out, states[i] = step(params, states[i], spec)
+        out, dsp_i, st_i = step(params, *states[i], chunk)
+        states[i] = (dsp_i, st_i)
     _sync(out)
 
     lats = []
@@ -93,7 +118,8 @@ def measure_round_robin(model, params, batch: int, k: int, *,
         t0 = time.perf_counter()
         for _ in range(rounds):
             for i in range(k):
-                out, states[i] = step(params, states[i], spec)
+                out, dsp_i, st_i = step(params, *states[i], chunk)
+                states[i] = (dsp_i, st_i)
         _sync(out)
         elapsed = time.perf_counter() - t0 - rtt
         lats.append(max(elapsed, 1e-9) / (rounds * k))
@@ -125,6 +151,8 @@ def main() -> None:
     # step-time curve; per-stream cost is batch-dependent (PERF.md r3), so
     # the best config is cohorts of a mid-size batch, not one huge batch
     candidates = [4096, 6144, 8192, 12288, 16384, 32768]
+    print("# step = audio-in -> audio-out (online STFT + model + online "
+          "iSTFT, MXU-DFT)", flush=True)
     scored = []  # (ideal streams, batch, k)
     single_best = 0
     for b in candidates:

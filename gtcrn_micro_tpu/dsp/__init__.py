@@ -6,6 +6,13 @@ from gtcrn_micro_tpu.dsp.stft import (
     StftConfig,
 )
 from gtcrn_micro_tpu.dsp.erb import erb_filter_banks, ErbBands
+from gtcrn_micro_tpu.dsp.stream_dsp import (
+    DspState,
+    init_dsp_state,
+    stft_chunk,
+    istft_chunk,
+    make_audio_step,
+)
 
 __all__ = [
     "hann_window",
@@ -15,4 +22,9 @@ __all__ = [
     "StftConfig",
     "erb_filter_banks",
     "ErbBands",
+    "DspState",
+    "init_dsp_state",
+    "stft_chunk",
+    "istft_chunk",
+    "make_audio_step",
 ]

@@ -94,3 +94,53 @@ def make_sharded_serving_step(model, mesh: Mesh, axis: str = "data"):
         return cache["fn"](params, state, spec)
 
     return jitted, place_state, place_spec
+
+
+def make_sharded_audio_serving_step(model, mesh: Mesh, axis: str = "data",
+                                    dft: str = "mxu"):
+    """Audio-in -> audio-out sharded serving step (dsp/stream_dsp.py).
+
+    Same embarrassingly-parallel layout as :func:`make_sharded_serving_step`
+    with the online STFT/iSTFT state (in_buf/ola_buf, batch-major) sharded
+    along the stream axis too; the DSP is pointwise per stream, so the
+    compiled program still contains no steady-state collectives.
+
+    Returns (step_fn, place_model_state, place_dsp_state, place_chunk).
+    """
+    from gtcrn_micro_tpu.dsp.stft import sqrt_hann_window
+    from gtcrn_micro_tpu.dsp.stream_dsp import make_audio_step
+
+    s_batch = NamedSharding(mesh, P(axis))
+    s_rep = NamedSharding(mesh, P())
+    window = sqrt_hann_window(model.config.win_len)
+    step = make_audio_step(model, window, dft=dft)
+
+    def state_sharding(state):
+        return {k: (s_rep if k == "step" else s_batch) for k in state}
+
+    def place_model_state(state):
+        return {
+            k: jax.device_put(v, s_rep if k == "step" else s_batch)
+            for k, v in state.items()
+        }
+
+    def place_dsp_state(dsp):
+        return jax.tree.map(lambda v: jax.device_put(v, s_batch), dsp)
+
+    def place_chunk(chunk):
+        return jax.device_put(chunk, s_batch)
+
+    cache: dict = {}
+
+    def jitted(params, dsp, state, chunk):
+        if "fn" not in cache:
+            cache["fn"] = jax.jit(
+                step,
+                in_shardings=(s_rep, s_batch, state_sharding(state),
+                              s_batch),
+                out_shardings=(s_batch, s_batch, state_sharding(state)),
+                donate_argnums=(1, 2),
+            )
+        return cache["fn"](params, dsp, state, chunk)
+
+    return jitted, place_model_state, place_dsp_state, place_chunk

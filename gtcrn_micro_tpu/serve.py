@@ -86,13 +86,38 @@ class CohortServer:
     """
 
     def __init__(self, model, params, batch: int, n_cohorts: int,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, mode: str = "spec", dft: str = "mxu"):
+        if mode not in ("spec", "audio"):
+            raise ValueError(f"mode must be 'spec' or 'audio', got {mode!r}")
         self.model = model
         self.batch = batch
         self.n_cohorts = n_cohorts
         self.dtype = dtype
+        self.mode = mode
         self.params = jax.tree.map(lambda v: v.astype(dtype), params)
-        self._step = jax.jit(model.step, donate_argnums=(1,))
+        if mode == "audio":
+            # audio-in -> audio-out: online STFT/iSTFT fused into the step
+            # (dsp/stream_dsp.py; MXU-DFT costs ~2% over the spec step)
+            from gtcrn_micro_tpu.dsp.stft import sqrt_hann_window
+            from gtcrn_micro_tpu.dsp.stream_dsp import (
+                DspState,
+                make_audio_step,
+            )
+
+            window = sqrt_hann_window(model.config.win_len)
+            self._step = jax.jit(
+                make_audio_step(model, window, dft=dft),
+                donate_argnums=(1, 2),
+            )
+            self._dsp = [
+                DspState(
+                    in_buf=jnp.zeros((batch, model.config.hop_len), dtype),
+                    ola_buf=jnp.zeros((batch, model.config.hop_len), dtype),
+                )
+                for _ in range(n_cohorts)
+            ]
+        else:
+            self._step = jax.jit(model.step, donate_argnums=(1,))
         self._states = [
             model.init_state(batch, dtype=dtype) for _ in range(n_cohorts)
         ]
@@ -128,14 +153,35 @@ class CohortServer:
             k: (v if k == "step" else v.at[slot].set(0))
             for k, v in st.items()
         }
+        if self.mode == "audio":
+            import dataclasses
+
+            d = self._dsp[cohort]
+            self._dsp[cohort] = dataclasses.replace(
+                d,
+                in_buf=d.in_buf.at[slot].set(0),
+                ola_buf=d.ola_buf.at[slot].set(0),
+            )
 
     # -- serving -----------------------------------------------------------
 
-    def step(self, cohort: int, spec: jax.Array) -> jax.Array:
-        """Advance ``cohort`` one frame: spec (batch, F, 1, 2) -> enhanced."""
-        out, self._states[cohort] = self._step(
-            self.params, self._states[cohort], spec.astype(self.dtype)
-        )
+    def step(self, cohort: int, frame: jax.Array) -> jax.Array:
+        """Advance ``cohort`` one frame.
+
+        mode "spec":  frame is (batch, F, 1, 2) spectra -> enhanced spectra.
+        mode "audio": frame is (batch, hop_len) samples -> enhanced samples
+        one hop behind (dsp/stream_dsp.py latency contract; the first
+        emitted chunk per stream is the discarded center-trim region).
+        """
+        if self.mode == "audio":
+            out, self._dsp[cohort], self._states[cohort] = self._step(
+                self.params, self._dsp[cohort], self._states[cohort],
+                frame.astype(self.dtype),
+            )
+        else:
+            out, self._states[cohort] = self._step(
+                self.params, self._states[cohort], frame.astype(self.dtype)
+            )
         self._frames[cohort] += 1
         return out
 

@@ -71,3 +71,44 @@ def test_admission_lifecycle():
             continue
         assert float(jnp.abs(v[a]).max()) == 0.0, k
         assert float(jnp.abs(v[1 - a]).max()) > 0.0  # the live slot kept data
+
+
+def test_audio_mode_matches_offline_pipeline():
+    from gtcrn_micro_tpu.dsp import istft, sqrt_hann_window, stft
+
+    model = GTCRNMicro()
+    params = model.init(jax.random.PRNGKey(0))
+    srv = CohortServer(model, params, batch=2, n_cohorts=2,
+                       dtype=jnp.float32, mode="audio", dft="fft")
+
+    rng = np.random.default_rng(1)
+    hops = 10
+    x = rng.standard_normal((2, 2, 256 * hops)).astype(np.float32) * 0.3
+    x[:, :, :257] = 0.0  # exact-equality regime (stream_dsp analysis)
+
+    outs = [[] for _ in range(2)]
+    for t in range(hops):
+        got = srv.round_robin(
+            [jnp.asarray(x[c][:, 256 * t : 256 * (t + 1)]) for c in range(2)]
+        )
+        for c in range(2):
+            outs[c].append(np.asarray(got[c]))
+
+    w = sqrt_hann_window(512)
+    for c in range(2):
+        spec = stft(jnp.asarray(x[c]), w)
+        off = np.asarray(istft(model.apply_jit(params, spec), w,
+                               length=x.shape[2]))
+        y = np.concatenate(outs[c], axis=-1)[:, 256:]  # drop center trim
+        np.testing.assert_allclose(y, off[:, : y.shape[1]], atol=5e-7)
+
+
+def test_audio_mode_reset_zeroes_dsp_state():
+    model = GTCRNMicro()
+    params = model.init(jax.random.PRNGKey(0))
+    srv = CohortServer(model, params, batch=2, n_cohorts=1,
+                       dtype=jnp.float32, mode="audio")
+    srv.step(0, jnp.ones((2, 256), jnp.float32))
+    srv.reset_slot(0, 0)
+    assert float(jnp.abs(srv._dsp[0].in_buf[0]).max()) == 0.0
+    assert float(jnp.abs(srv._dsp[0].in_buf[1]).max()) > 0.0
