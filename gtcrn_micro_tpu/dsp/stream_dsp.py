@@ -202,8 +202,11 @@ def _stft_chunk_mxu(state: DspState, chunk: jax.Array, fwd_np):
     segs = sig.reshape(B, T + 1, _HOP)
     frames = jnp.concatenate([segs[:, :-1], segs[:, 1:]], axis=-1)
     fwd = jnp.asarray(fwd_np, chunk.dtype)
+    # HIGHEST: a no-op for bf16 operands, but keeps f32 serving at true
+    # f32 accuracy (TPU default decomposes f32 dots into bf16 passes)
     ri = jnp.einsum("btn,nf->btf", frames, fwd,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     F = fwd.shape[1] // 2
     spec = jnp.stack([ri[..., :F], ri[..., F:]], axis=-1)  # (B, T, F, 2)
     spec = jnp.moveaxis(spec, 1, 2).astype(chunk.dtype)  # (B, F, T, 2)
@@ -220,7 +223,8 @@ def _istft_chunk_mxu(state: DspState, spec: jax.Array, inv_np):
     )  # (B, T, 2F)
     inv = jnp.asarray(inv_np, spec.dtype)
     frames = jnp.einsum("btf,fn->btn", ri, inv,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
     heads, tails = frames[..., :_HOP], frames[..., _HOP:]
     prev = jnp.concatenate(
         [state.ola_buf[:, None].astype(jnp.float32), tails[:, :-1]], axis=1

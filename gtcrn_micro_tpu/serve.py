@@ -193,3 +193,95 @@ class CohortServer:
     @property
     def frames_served(self) -> int:
         return sum(self._frames)
+
+
+def main(args=None) -> None:
+    """Demo CLI: enhance a wav through the audio-mode cohort server.
+
+    Drives the production serving shape end to end on real audio: admit a
+    stream into a cohort, feed one hop chunk per (virtual) frame interval
+    in the cohort's phase slot, collect the enhanced chunks (one hop
+    behind, dsp/stream_dsp.py latency contract) and report SNR vs the
+    offline fp32 pipeline.
+    """
+    import argparse
+
+    import numpy as np
+
+    parser = argparse.ArgumentParser(description="cohort serving demo")
+    parser.add_argument("--wav", default=(
+        "/root/reference/gtcrn_micro/examples/gtcrn_micro/noisy1.wav"))
+    parser.add_argument("--out", default="")
+    parser.add_argument("--checkpoint", default=(
+        "/root/reference/gtcrn_micro/ckpts/best_model_dns3.tar"))
+    parser.add_argument("--batch", type=int, default=2)
+    parser.add_argument("--cohorts", type=int, default=2)
+    parser.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    ns = parser.parse_args(args)
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/gtcrn_micro_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+    from gtcrn_micro_tpu.dsp.stft import istft, sqrt_hann_window, stft
+    from gtcrn_micro_tpu.eval.infer import load_params
+    from gtcrn_micro_tpu.io.wav import read_wav, write_wav
+    from gtcrn_micro_tpu.models.gtcrn_micro import GTCRNMicro
+
+    model = GTCRNMicro()
+    params = load_params(ns.checkpoint)
+    dtype = jnp.bfloat16 if ns.dtype == "bf16" else jnp.float32
+    srv = CohortServer(model, params, batch=ns.batch, n_cohorts=ns.cohorts,
+                       dtype=dtype, mode="audio")
+
+    wav, fs = read_wav(ns.wav)
+    if wav.ndim > 1:
+        wav = wav[:, 0]
+    hop = model.config.hop_len
+    hops = len(wav) // hop
+    wav = wav[: hops * hop].astype("float32")
+
+    cohort = srv.next_cohort()
+    slot = srv.admit(cohort)
+    zeros = jnp.zeros((ns.batch, hop), dtype)
+    feed = np.zeros((ns.batch, hop), np.float32)
+
+    outs = []
+    for t in range(hops + 1):  # +1 step flushes the one-hop OLA tail
+        if t < hops:
+            feed[slot] = wav[hop * t : hop * (t + 1)]
+        else:
+            feed[slot] = 0.0
+        for c in range(srv.n_cohorts):  # phase-ordered interval
+            got = srv.step(c, jnp.asarray(feed) if c == cohort else zeros)
+            if c == cohort:
+                outs.append(np.asarray(got, np.float32)[slot])
+    enh = np.concatenate(outs)[hop:]  # drop the center-trim chunk
+
+    spec = stft(jnp.asarray(wav)[None], sqrt_hann_window(model.config.win_len))
+    off = np.asarray(istft(model.apply_jit(params, spec),
+                           sqrt_hann_window(model.config.win_len),
+                           length=len(wav)))[0]
+    n = min(len(enh), len(off))
+
+    def snr(a, b):
+        e = a - b
+        return 10 * np.log10(max(float((b ** 2).sum()), 1e-20)
+                             / max(float((e ** 2).sum()), 1e-20))
+
+    # the first ~61 frames carry the stream-open transient (offline frame 0
+    # is reflect-padded; a live stream has no future sample to reflect) --
+    # steady state is the serving-quality number
+    ss = 64 * hop
+    print(f"served {hops} frames through cohort {cohort} slot {slot} "
+          f"({srv.n_cohorts} cohorts x {srv.batch} slots, {ns.dtype}); "
+          f"SNR vs offline fp32: {snr(enh[:n], off[:n]):.1f} dB whole wav, "
+          f"{snr(enh[ss:n], off[ss:n]):.1f} dB steady-state")
+    if ns.out:
+        write_wav(ns.out, enh[:n], fs)
+        print(f"wrote {ns.out}")
+
+
+if __name__ == "__main__":
+    main()

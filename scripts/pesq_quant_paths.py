@@ -70,6 +70,33 @@ def main() -> None:
         for i, w in wavs.items()
     }
 
+    # bf16 AUDIO serving (the exact bench.py headline config: ring caches,
+    # online STFT/iSTFT, MXU-DFT, bf16 end-to-end; T=16 hop chunks)
+    from gtcrn_micro_tpu.dsp.stream_dsp import DspState, make_audio_step
+
+    T_CHUNK = 16
+    hop = model.config.hop_len
+    max_hops = max(len(w) // hop for w in wavs.values())
+    max_hops += (-max_hops) % T_CHUNK
+    batch = np.zeros((5, max_hops * hop), np.float32)
+    for i, w in wavs.items():
+        batch[i - 1, : len(w)] = w[: max_hops * hop]
+    astep = jax.jit(make_audio_step(model, window, dft="mxu"),
+                    donate_argnums=(1, 2))
+    dsp = DspState(in_buf=jnp.zeros((5, hop), jnp.bfloat16),
+                   ola_buf=jnp.zeros((5, hop), jnp.bfloat16))
+    mstate = model.init_state(5, dtype=jnp.bfloat16)
+    outs = []
+    for t in range(0, max_hops, T_CHUNK):
+        chunk = jnp.asarray(batch[:, hop * t : hop * (t + T_CHUNK)],
+                            jnp.bfloat16)
+        o, dsp, mstate = astep(bf16_params, dsp, mstate, chunk)
+        outs.append(o.astype(jnp.float32))
+    y = np.asarray(jnp.concatenate(outs, axis=-1))[:, hop:]
+    paths["bf16 audio serving"] = {
+        i: y[i - 1, : len(w)] for i, w in wavs.items()
+    }
+
     # 16x8 PTQ (deploy calibration)
     calib = jnp.asarray(calibration_specs(WAV_DIR, n_wavs=32))
     qm16 = make_quantized_model(model, folded, calib, act_bits=16)
