@@ -77,5 +77,7 @@ NOISY="$SMOKE/val/noisy/$(ls $SMOKE/val/noisy | head -1)"
 ./native/build/gtcrn_stream --bench "$SMOKE/export/gtcrn_micro_weights.bin" 4
 
 python -m gtcrn_micro_tpu.utils.complexity
+python -m gtcrn_micro_tpu.serve --wav "$NOISY" --checkpoint \
+  "$EXP/checkpoints/best" --out "$SMOKE/serve_demo.wav" --dtype f32
 python __graft_entry__.py 8
 echo "ALL SMOKE SURFACES OK"
