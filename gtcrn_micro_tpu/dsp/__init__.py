@@ -12,6 +12,7 @@ from gtcrn_micro_tpu.dsp.stream_dsp import (
     stft_chunk,
     istft_chunk,
     make_audio_step,
+    make_audio_scan,
 )
 
 __all__ = [
@@ -27,4 +28,5 @@ __all__ = [
     "stft_chunk",
     "istft_chunk",
     "make_audio_step",
+    "make_audio_scan",
 ]

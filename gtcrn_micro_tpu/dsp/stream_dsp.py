@@ -194,6 +194,36 @@ def make_audio_step(model, window: jax.Array, dft: str = "fft"):
     return step
 
 
+def make_audio_scan(model, window: jax.Array, dft: str = "fft"):
+    """One-call long-form audio streaming: ``lax.scan`` over hop chunks.
+
+    Returns ``scan(params, dsp_state, model_state, audio) -> (out, dsp,
+    model_state)`` where ``audio`` is (B, n_hops*hop) samples and ``out``
+    the enhanced samples with the one-hop stream delay (first emitted
+    chunk = the discarded center-trim region, included so callers slice
+    ``out[:, hop:]`` against ``audio[:, :-hop]``).  The whole stream runs
+    as ONE compiled program -- no per-chunk dispatch, XLA unrolls nothing.
+    """
+    step = make_audio_step(model, window, dft=dft)
+
+    def scan(params, dsp_state: DspState, model_state, audio: jax.Array):
+        B, n = audio.shape
+        chunks = audio.reshape(B, n // _HOP, _HOP).swapaxes(0, 1)
+
+        def body(carry, chunk):
+            dsp, mstate = carry
+            out, dsp, mstate = step(params, dsp, mstate, chunk)
+            return (dsp, mstate), out
+
+        (dsp_state, model_state), outs = jax.lax.scan(
+            body, (dsp_state, model_state), chunks
+        )
+        out = outs.swapaxes(0, 1).reshape(B, n)
+        return out, dsp_state, model_state
+
+    return scan
+
+
 def _stft_chunk_mxu(state: DspState, chunk: jax.Array, fwd_np):
     """Windowed analysis as one MXU dot: frames @ (win * DFT)."""
     B, n = chunk.shape

@@ -237,3 +237,32 @@ def test_make_audio_step_rejects_unknown_dft(model_and_params, window):
     model, _ = model_and_params
     with pytest.raises(ValueError):
         make_audio_step(model, window, dft="fht")
+
+
+def test_audio_scan_matches_step_loop_and_offline(model_and_params, window):
+    import jax
+
+    from gtcrn_micro_tpu.dsp.stream_dsp import make_audio_scan
+
+    model, params = model_and_params
+    x = _signal(batch=2, hops=2000, zero_prefix=257, seed=11)
+
+    scan = jax.jit(make_audio_scan(model, window), donate_argnums=(1, 2))
+    dsp = init_dsp_state(2)
+    mst = model.init_state(2)
+    y, dsp, mst = scan(params, dsp, mst, jnp.asarray(x))
+    y = np.asarray(y)[:, HOP:]
+
+    # offline reference over the same (long) signal: 2000 frames = 125 ring
+    # wraps of every temporal cache PLUS the carried DSP state -- the fused
+    # audio pipeline must not drift
+    spec = stft(jnp.asarray(x), window)
+    off = np.asarray(istft(model.apply_jit(params, spec), window,
+                           length=x.shape[1]))
+    n = y.shape[1]
+    seg = 250 * HOP
+    for s in range(0, n - seg, seg):
+        np.testing.assert_allclose(
+            y[:, s : s + seg], off[:, s : s + seg], atol=1e-6,
+            err_msg=f"segment starting at hop {s // HOP}",
+        )
