@@ -510,6 +510,33 @@ std::vector<float> EnhanceOla(
   return out;
 }
 
+AudioStream::AudioStream()
+    : win_(SqrtHann512()), env_(256), in_buf_(256, 0.f), ola_buf_(256, 0.f) {
+  // squared-window OLA envelope at emitted samples: the 2-term Hann
+  // partition of unity (every partial-envelope sample lies inside the
+  // center trim the stream never emits)
+  for (int i = 0; i < 256; ++i) {
+    env_[i] = win_[i] * win_[i] + win_[i + 256] * win_[i + 256];
+  }
+}
+
+void AudioStream::Push(
+    const std::function<void(const float*, const float*, float*, float*)>&
+        step,
+    const float* hop_in, float* hop_out) {
+  float fr[512], re[kFFull], im[kFFull], ore[kFFull], oim[kFFull], t512[512];
+  for (int i = 0; i < 256; ++i) fr[i] = in_buf_[i] * win_[i];
+  for (int i = 0; i < 256; ++i) fr[256 + i] = hop_in[i] * win_[256 + i];
+  Fft512(fr, re, im);
+  step(re, im, ore, oim);
+  Irfft512(ore, oim, t512);
+  for (int i = 0; i < 256; ++i) {
+    hop_out[i] = (ola_buf_[i] + t512[i] * win_[i]) / env_[i];
+    ola_buf_[i] = t512[256 + i] * win_[256 + i];
+    in_buf_[i] = hop_in[i];
+  }
+}
+
 }  // namespace dsp
 
 std::vector<float> Engine::EnhanceWav(const std::vector<float>& samples) const {

@@ -235,6 +235,28 @@ std::vector<float> EnhanceOla(
     const std::vector<float>& samples,
     const std::function<void(const float*, const float*, float*, float*)>&
         step);
+
+// Online (chunked) framing: one 256-sample hop in -> one enhanced hop out,
+// with O(1) carried state -- TRUE streaming (EnhanceOla above, like the
+// reference runner, needs the whole wav to reflect-pad).  Mirrors the JAX
+// dsp/stream_dsp.py contract exactly: the analysis left context starts at
+// zeros (offline frame 0 reflects a future sample a live stream has not
+// seen), output runs one hop behind the input, and the FIRST emitted hop
+// is the offline center-trim region -- callers drop it.  Feed one zero hop
+// at end-of-stream to flush the final output hop.
+class AudioStream {
+ public:
+  AudioStream();
+  // step() is one engine frame (spec_re, spec_im, out_re, out_im), e.g. a
+  // lambda closing over Engine::Step and a StreamState.
+  void Push(
+      const std::function<void(const float*, const float*, float*, float*)>&
+          step,
+      const float* hop_in, float* hop_out);
+
+ private:
+  std::vector<float> win_, env_, in_buf_, ola_buf_;
+};
 }  // namespace dsp
 
 }  // namespace gtcrn

@@ -141,13 +141,18 @@ int RunBench(const char* weights, int n_streams, int frames) {
 
 int main(int argc, char** argv) {
   int quant = 0;  // 0 = fp32, 8 = int8, 16 = 16x8
+  bool online = false;  // true: hop-by-hop AudioStream framing (O(1) state)
   int argi = 1;
-  if (argi < argc && !std::strcmp(argv[argi], "--int8")) {
-    quant = 8;
-    ++argi;
-  } else if (argi < argc && !std::strcmp(argv[argi], "--int16")) {
-    quant = 16;
-    ++argi;
+  for (; argi < argc; ++argi) {
+    if (!std::strcmp(argv[argi], "--int8")) {
+      quant = 8;
+    } else if (!std::strcmp(argv[argi], "--int16")) {
+      quant = 16;
+    } else if (!std::strcmp(argv[argi], "--online")) {
+      online = true;
+    } else {
+      break;
+    }
   }
   if (argi + 1 < argc && !std::strcmp(argv[argi], "--bench")) {
     int n = argi + 2 < argc ? std::atoi(argv[argi + 2]) : 16;
@@ -164,7 +169,8 @@ int main(int argc, char** argv) {
   }
   if (argc - argi != 3) {
     std::fprintf(stderr,
-                 "usage: %s [--int8|--int16] <weights.bin> <in.wav> <out.wav>\n"
+                 "usage: %s [--int8|--int16] [--online] <weights.bin> <in.wav>"
+                 " <out.wav>\n"
                  "       %s [--int8|--int16] --bench <weights.bin> [n]\n",
                  argv[0], argv[0]);
     return 1;
@@ -192,9 +198,50 @@ int main(int argc, char** argv) {
     return 1;
   }
   auto t0 = std::chrono::steady_clock::now();
-  auto out = quant == 8    ? engine_q->EnhanceWav(samples)
-             : quant == 16 ? engine_q16->EnhanceWav(samples)
-                           : engine->EnhanceWav(samples);
+  std::vector<float> out;
+  if (online) {
+    // true streaming: one hop in -> one hop out, O(1) carried state (the
+    // whole-wav path below reflect-pads up front, like the reference's
+    // runner).  Output runs one hop behind; one zero hop flushes the tail
+    // and the first emitted hop (the offline center-trim region) is
+    // dropped -- so out[i] aligns with the offline pipeline's out[i].
+    gtcrn::StreamState st;
+    gtcrn::StreamStateQ st_q;
+    gtcrn::StreamStateQ16 st_q16;
+    if (quant == 8) engine_q->InitState(st_q);
+    if (quant == 16) engine_q16->InitState(st_q16);
+    std::function<void(const float*, const float*, float*, float*)> step;
+    if (quant == 8) {
+      step = [&](const float* re, const float* im, float* ore, float* oim) {
+        engine_q->Step(st_q, re, im, ore, oim);
+      };
+    } else if (quant == 16) {
+      step = [&](const float* re, const float* im, float* ore, float* oim) {
+        engine_q16->Step(st_q16, re, im, ore, oim);
+      };
+    } else {
+      step = [&](const float* re, const float* im, float* ore, float* oim) {
+        engine->Step(st, re, im, ore, oim);
+      };
+    }
+    gtcrn::dsp::AudioStream stream;
+    const size_t hops = samples.size() / 256;
+    out.assign(hops * 256, 0.f);
+    std::vector<float> hop_out(256);
+    const float zero_hop[256] = {};
+    for (size_t t = 0; t <= hops; ++t) {
+      const float* in = t < hops ? samples.data() + 256 * t : zero_hop;
+      stream.Push(step, in, hop_out.data());
+      if (t > 0) {  // t == 0 emits the discarded center-trim hop
+        std::copy(hop_out.begin(), hop_out.end(),
+                  out.begin() + 256 * (t - 1));
+      }
+    }
+  } else {
+    out = quant == 8    ? engine_q->EnhanceWav(samples)
+          : quant == 16 ? engine_q16->EnhanceWav(samples)
+                        : engine->EnhanceWav(samples);
+  }
   auto us = std::chrono::duration_cast<std::chrono::microseconds>(
                 std::chrono::steady_clock::now() - t0)
                 .count();

@@ -297,3 +297,45 @@ def test_native_16x8_matches_sim_and_tracks_fp32(native):
         assert np.abs(y_nat - y_fp).max() < 0.2, t
         assert np.abs(y_nat - y_fp).mean() < 0.01, t
     os.unlink(wpath16)
+
+
+def test_cli_online_matches_jax_audio_scan(native, tmp_path):
+    """--online (dsp::AudioStream, O(1) carried framing state) == the JAX
+    online audio pipeline (dsp/stream_dsp.py), same stream-open and one-hop
+    -delay contract, within the int16 wav IO floor."""
+    from gtcrn_micro_tpu.dsp.stft import sqrt_hann_window
+    from gtcrn_micro_tpu.dsp.stream_dsp import (
+        init_dsp_state,
+        make_audio_scan,
+    )
+    from gtcrn_micro_tpu.io.wav import read_wav, write_wav
+    from gtcrn_micro_tpu.runtime.native import CLI_PATH
+
+    model, params, wpath, _eng = native
+    rng = np.random.default_rng(4)
+    hops = 40
+    x = (rng.standard_normal(256 * hops) * 0.1).astype(np.float32)
+    inp, outp = str(tmp_path / "in.wav"), str(tmp_path / "out.wav")
+    write_wav(inp, x, 16000)
+    res = subprocess.run(
+        [CLI_PATH, "--online", wpath, inp, outp],
+        capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr
+    y_nat, _fs = read_wav(outp)
+
+    # the wav on disk went through int16 quantization twice (in + out), so
+    # regenerate the JAX reference from the SAME int16-rounded input
+    x_rt, _ = read_wav(inp)
+    scan = jax.jit(
+        make_audio_scan(model, sqrt_hann_window(512)), donate_argnums=(1, 2)
+    )
+    y, _, _ = scan(params, init_dsp_state(1), model.init_state(1),
+                   jnp.asarray(x_rt[None]))
+    y_jax = np.asarray(y)[0, 256:]  # drop the center-trim hop, like the CLI
+
+    n = min(len(y_nat), len(y_jax))
+    err = y_nat[:n] - y_jax[:n]
+    den = float((y_jax[:n] ** 2).sum())
+    snr = 10 * np.log10(max(den, 1e-20) / max(float((err**2).sum()), 1e-20))
+    assert snr > 55.0, snr  # int16 wav IO floor ~66 dB; margin for content
