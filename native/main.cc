@@ -115,7 +115,14 @@ void InitStates(const gtcrn::EngineQ16& e,
 
 template <typename EngineT, typename StateT>
 int RunBench(const char* weights, int n_streams, int frames) {
-  EngineT engine{std::string(weights)};
+  std::unique_ptr<EngineT> loaded;
+  try {
+    loaded = std::make_unique<EngineT>(std::string(weights));
+  } catch (const std::exception& e) {
+    std::fprintf(stderr, "failed to load weights: %s\n", e.what());
+    return 1;
+  }
+  EngineT& engine = *loaded;
   std::vector<StateT> states(n_streams);
   InitStates(engine, states);
   std::vector<float> re(n_streams * 257, 0.f), im(n_streams * 257, 0.f);

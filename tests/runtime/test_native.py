@@ -339,3 +339,67 @@ def test_cli_online_matches_jax_audio_scan(native, tmp_path):
     den = float((y_jax[:n] ** 2).sum())
     snr = 10 * np.log10(max(den, 1e-20) / max(float((err**2).sum()), 1e-20))
     assert snr > 55.0, snr  # int16 wav IO floor ~66 dB; margin for content
+
+
+def test_cli_int16_bench_and_online(native_int8, tmp_path):
+    """16x8 engine through --bench (r2 advice: its states must pass through
+    InitState, not default-constructed rings) and --online streaming."""
+    from gtcrn_micro_tpu.io.export_native import export_native_weights_int8
+    from gtcrn_micro_tpu.io.wav import read_wav, write_wav
+    from gtcrn_micro_tpu.quant.fake_quant import act_qparams
+    from gtcrn_micro_tpu.runtime.native import CLI_PATH
+
+    model, folded, act_qp, _wpath8, _eng8 = native_int8
+    qp16 = {
+        p: act_qparams(jnp.float32((qp.qmin - qp.zero) * qp.scale),
+                       jnp.float32((qp.qmax - qp.zero) * qp.scale), 16)
+        for p, qp in act_qp.items()
+    }
+    wpath16 = str(tmp_path / "w16.bin")
+    export_native_weights_int8(folded, qp16, wpath16)
+
+    res = subprocess.run(
+        [CLI_PATH, "--int16", "--bench", wpath16, "2"],
+        capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr
+    assert "us/frame/stream" in res.stdout
+
+    rng = np.random.default_rng(9)
+    x = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    inp, outp = str(tmp_path / "in.wav"), str(tmp_path / "out.wav")
+    write_wav(inp, x, 16000)
+    res = subprocess.run(
+        [CLI_PATH, "--int16", "--online", wpath16, inp, outp],
+        capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr
+    y, fs = read_wav(outp)
+    assert fs == 16000 and len(y) == (len(x) // 256) * 256
+
+
+def test_cli_rejects_corrupt_gtm8(native_int8, tmp_path):
+    """A truncated/corrupted GTM8 must fail with the descriptive loader
+    error (r2 advice: dims validated BEFORE allocation), never a crash."""
+    from gtcrn_micro_tpu.runtime.native import CLI_PATH
+
+    _m, _f, _q, wpath8, _eng8 = native_int8
+    blob = bytearray(open(wpath8, "rb").read())
+
+    truncated = str(tmp_path / "trunc.gtm8")
+    open(truncated, "wb").write(bytes(blob[: len(blob) // 3]))
+
+    corrupted = str(tmp_path / "corrupt.gtm8")
+    bad = bytearray(blob)
+    # stomp the FIRST tensor's rank field (byte 8, right after
+    # magic+count): must hit the pre-allocation bound check, not bad_alloc
+    bad[8:12] = (0xFFFFFFF0).to_bytes(4, "little")
+    open(corrupted, "wb").write(bytes(bad))
+
+    for path in (truncated, corrupted):
+        res = subprocess.run(
+            [CLI_PATH, "--int8", "--bench", path, "1"],
+            capture_output=True, text=True, timeout=60,
+        )
+        assert res.returncode != 0, path
+        assert "failed to load weights" in res.stderr, (path, res.stderr)
