@@ -31,7 +31,6 @@ with the model's T-chunk ring steps (nn/core.py) for throughput serving.
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
