@@ -44,12 +44,9 @@ from gtcrn_micro_tpu.utils.profiling import measure_rtt, sync as _sync  # noqa: 
 
 def max_cohorts(step_s: float) -> int:
     """Largest K meeting keep-up and latency; 0 if none."""
-    return max(
-        (k for k in range(1, 65)
-         if k * step_s <= FRAME_S
-         and step_s + FRAME_S / k <= LATENCY_BUDGET_S),
-        default=0,
-    )
+    from gtcrn_micro_tpu.serve import plan_cohorts
+
+    return plan_cohorts(step_s, batch=0).n_cohorts
 
 
 def _audio_step(model, dtype):
