@@ -58,6 +58,8 @@ def main() -> None:
         chunk = int(sys.argv[sys.argv.index("--chunk") + 1])
     steps = 10
 
+    audio = "--audio" in sys.argv
+
     model = GTCRNMicro()
     params = model.init(jax.random.PRNGKey(0))
     if folded:
@@ -67,8 +69,30 @@ def main() -> None:
     params = jax.tree.map(lambda v: jnp.asarray(v, jnp.bfloat16), params)
 
     state = model.init_state(batch, dtype=jnp.bfloat16)
-    spec = jnp.zeros((batch, model.config.n_freqs, chunk, 2), jnp.bfloat16)
-    step = jax.jit(model.step, donate_argnums=(1,))
+    if audio:
+        # the exact bench.py headline executable: online STFT -> model ->
+        # online iSTFT, MXU-DFT form (dsp/stream_dsp.py)
+        from gtcrn_micro_tpu.dsp.stft import sqrt_hann_window
+        from gtcrn_micro_tpu.dsp.stream_dsp import DspState, make_audio_step
+
+        window = sqrt_hann_window(model.config.win_len)
+        astep = jax.jit(make_audio_step(model, window, dft="mxu"),
+                        donate_argnums=(1, 2))
+        dsp = DspState(
+            in_buf=jnp.zeros((batch, model.config.hop_len), jnp.bfloat16),
+            ola_buf=jnp.zeros((batch, model.config.hop_len), jnp.bfloat16),
+        )
+        chunk_in = jnp.zeros((batch, model.config.hop_len), jnp.bfloat16)
+
+        def step(params, state, _spec):
+            nonlocal dsp
+            out, dsp, state = astep(params, dsp, state, chunk_in)
+            return out, state
+
+        spec = None
+    else:
+        spec = jnp.zeros((batch, model.config.n_freqs, chunk, 2), jnp.bfloat16)
+        step = jax.jit(model.step, donate_argnums=(1,))
 
     out, state = step(params, state, spec)
     sync(out)
@@ -80,11 +104,13 @@ def main() -> None:
         out, state = step(params, state, spec)
     sync(out)
     lat = (time.perf_counter() - t0 - rtt) / 200
-    print(f"batch {batch} folded={folded} chunk={chunk}: {lat * 1e3:.3f} ms/step "
+    print(f"batch {batch} folded={folded} audio={audio} chunk={chunk}: "
+          f"{lat * 1e3:.3f} ms/step "
           f"({lat / chunk * 1e3:.3f} ms/frame, "
           f"{lat / chunk / batch * 1e9:.0f} ns/stream-frame)", flush=True)
 
     log_dir = (f"/tmp/gtcrn_trace_b{batch}{'_folded' if folded else ''}"
+               f"{'_audio' if audio else ''}"
                f"{f'_c{chunk}' if chunk > 1 else ''}")
     jax.profiler.start_trace(log_dir)
     for _ in range(steps):
