@@ -155,20 +155,37 @@ TcnQ ReadTcnQ(Reader& r) {
 // integer compute helpers ([C][F] activations; q* buffers hold TAct)
 // ---------------------------------------------------------------------------
 
+// Integer kernels below keep the frequency axis as the INNERMOST,
+// unit-stride loop over a contiguous int32 accumulator row so the compiler
+// auto-vectorizes the widening MACs (AVX-512 on the dev host; the same
+// shape feeds the ESP32-S3 vector unit the reference targets).  The
+// activation zero point is folded OUT of the inner loops where the tap set
+// is position-independent (exact in int32: sum((x-z)*w) == sum(x*w) -
+// z*sum(w)); boundary-clipped convs carry a per-position weight sum.
+constexpr int kFAcc = kFErb + 3;  // widest integer-conv row (129) + margin
+
 // pointwise channel mix on a quantized input: int32 MACs, float rescale
 template <typename TAct>
 void PwQ(const QTensor& w, const Tensor& b, const TAct* qx, const ActQ& aq,
          int ci_n, int f_n, float* out, int co_n) {
   for (int co = 0; co < co_n; ++co) {
-    const float rescale = aq.scale * w.scale[co];
     const int8_t* wr = w.data.data() + co * ci_n;
-    for (int f = 0; f < f_n; ++f) {
-      int32_t acc = 0;
-      for (int ci = 0; ci < ci_n; ++ci) {
-        acc += (static_cast<int32_t>(qx[ci * f_n + f]) - aq.zero) *
-               static_cast<int32_t>(wr[ci]);
+    int32_t wsum = 0;
+    for (int ci = 0; ci < ci_n; ++ci) wsum += wr[ci];
+    int32_t acc[kFAcc];
+    std::memset(acc, 0, f_n * sizeof(int32_t));
+    for (int ci = 0; ci < ci_n; ++ci) {
+      const int32_t wv = wr[ci];
+      const TAct* row = qx + ci * f_n;
+      for (int f = 0; f < f_n; ++f) {
+        acc[f] += wv * static_cast<int32_t>(row[f]);
       }
-      out[co * f_n + f] = b.data[co] + rescale * static_cast<float>(acc);
+    }
+    const float rescale = aq.scale * w.scale[co];
+    const int32_t zoff = aq.zero * wsum;
+    float* orow = out + co * f_n;
+    for (int f = 0; f < f_n; ++f) {
+      orow[f] = b.data[co] + rescale * static_cast<float>(acc[f] - zoff);
     }
   }
 }
@@ -179,44 +196,84 @@ void Conv5S2Q(const ConvQ& cw, const TAct* qx, int ci_n, int f_in,
               float* out, int co_n, int f_out) {
   const int8_t* w = cw.w.data.data();
   for (int co = 0; co < co_n; ++co) {
-    const float rescale = cw.in.scale * cw.w.scale[co];
-    for (int f = 0; f < f_out; ++f) {
-      int32_t acc = 0;
-      for (int k = 0; k < 5; ++k) {
-        int src = 2 * f + k - 2;
-        if (src < 0 || src >= f_in) continue;  // zero pad == zero contribution
-        for (int ci = 0; ci < ci_n; ++ci) {
-          acc += (static_cast<int32_t>(qx[ci * f_in + src]) - cw.in.zero) *
-                 static_cast<int32_t>(w[(k * co_n + co) * ci_n + ci]);
+    int32_t acc[kFAcc], wsum[kFAcc];
+    std::memset(acc, 0, f_out * sizeof(int32_t));
+    std::memset(wsum, 0, f_out * sizeof(int32_t));
+    for (int k = 0; k < 5; ++k) {
+      // src = 2f + k - 2 in [0, f_in)
+      const int f_lo = k >= 2 ? 0 : 1;
+      const int f_hi = std::min(f_out, (f_in - 1 - (k - 2)) / 2 + 1);
+      if (f_lo >= f_hi) continue;
+      int32_t wk = 0;
+      for (int ci = 0; ci < ci_n; ++ci) {
+        const int32_t wv = w[(k * co_n + co) * ci_n + ci];
+        wk += wv;
+        const TAct* row = qx + ci * f_in;
+        for (int f = f_lo; f < f_hi; ++f) {
+          acc[f] += wv * static_cast<int32_t>(row[2 * f + k - 2]);
         }
       }
-      out[co * f_out + f] =
-          Prelu(cw.b.data[co] + rescale * static_cast<float>(acc), cw.a);
+      for (int f = f_lo; f < f_hi; ++f) wsum[f] += wk;
+    }
+    const float rescale = cw.in.scale * cw.w.scale[co];
+    for (int f = 0; f < f_out; ++f) {
+      out[co * f_out + f] = Prelu(
+          cw.b.data[co] + rescale * static_cast<float>(
+                              acc[f] - cw.in.zero * wsum[f]),
+          cw.a);
     }
   }
 }
 
-// (1,5) transposed freq conv stride 2 pad 2, int8 weights (5, Co, Ci)
+// (1,5) transposed freq conv stride 2 pad 2, int8 weights (5, Co, Ci).
+// Output position f draws on zero-stuffed source f+k-2 (even, in range);
+// split by output parity so every loop is unit-stride: even outputs
+// f=2j <- taps k in {0,2,4} at input i = j-1+k/2; odd outputs f=2j+1 <-
+// taps k in {1,3} at i = j+(k-1)/2.
 template <typename TAct>
 void Deconv5Up2Q(const ConvQ& cw, const TAct* qx, int ci_n, int f_in,
                  float* out, int co_n, bool last_tanh) {
   const int f_out = 2 * f_in - 1;
+  const int n_even = f_in;      // outputs 0, 2, .., 2*(f_in-1)
+  const int n_odd = f_in - 1;   // outputs 1, 3, .., 2*f_in-3
   const int8_t* w = cw.w.data.data();
   for (int co = 0; co < co_n; ++co) {
-    const float rescale = cw.in.scale * cw.w.scale[co];
-    for (int f = 0; f < f_out; ++f) {
-      int32_t acc = 0;
-      for (int k = 0; k < 5; ++k) {
-        int src = f + k - 2;
-        if (src < 0 || src >= f_out || (src & 1)) continue;
-        int i = src / 2;
-        for (int ci = 0; ci < ci_n; ++ci) {
-          acc += (static_cast<int32_t>(qx[ci * f_in + i]) - cw.in.zero) *
-                 static_cast<int32_t>(w[(k * co_n + co) * ci_n + ci]);
+    int32_t ae[kFAcc], we[kFAcc], ao[kFAcc], wo[kFAcc];
+    std::memset(ae, 0, n_even * sizeof(int32_t));
+    std::memset(we, 0, n_even * sizeof(int32_t));
+    std::memset(ao, 0, n_odd * sizeof(int32_t));
+    std::memset(wo, 0, n_odd * sizeof(int32_t));
+    for (int k = 0; k < 5; ++k) {
+      const bool even = (k & 1) == 0;
+      int32_t* acc = even ? ae : ao;
+      int32_t* ws = even ? we : wo;
+      // j range: input i = j + (k - 2 + even) / 2 must lie in [0, f_in)
+      const int di = even ? (k - 2) / 2 : (k - 1) / 2;  // input i = j + di
+      const int j_lo = std::max(0, -di);
+      const int j_hi = std::min(even ? n_even : n_odd, f_in - di);
+      if (j_lo >= j_hi) continue;
+      int32_t wk = 0;
+      for (int ci = 0; ci < ci_n; ++ci) {
+        const int32_t wv = w[(k * co_n + co) * ci_n + ci];
+        wk += wv;
+        const TAct* row = qx + ci * f_in;
+        for (int j = j_lo; j < j_hi; ++j) {
+          acc[j] += wv * static_cast<int32_t>(row[j + di]);
         }
       }
-      float v = cw.b.data[co] + rescale * static_cast<float>(acc);
-      out[co * f_out + f] = last_tanh ? std::tanh(v) : Prelu(v, cw.a);
+      for (int j = j_lo; j < j_hi; ++j) ws[j] += wk;
+    }
+    const float rescale = cw.in.scale * cw.w.scale[co];
+    float* orow = out + co * f_out;
+    for (int j = 0; j < n_even; ++j) {
+      float v = cw.b.data[co] +
+                rescale * static_cast<float>(ae[j] - cw.in.zero * we[j]);
+      orow[2 * j] = last_tanh ? std::tanh(v) : Prelu(v, cw.a);
+    }
+    for (int j = 0; j < n_odd; ++j) {
+      float v = cw.b.data[co] +
+                rescale * static_cast<float>(ao[j] - cw.in.zero * wo[j]);
+      orow[2 * j + 1] = last_tanh ? std::tanh(v) : Prelu(v, cw.a);
     }
   }
 }
@@ -226,15 +283,16 @@ template <typename TAct>
 void DwFreq3AccQ(const QTensor& w9, int kt, const TAct* tap, const ActQ& aq,
                  int32_t* acc) {
   for (int c = 0; c < kC; ++c) {
-    for (int f = 0; f < kFDown; ++f) {
-      int32_t v = 0;
-      for (int kf = 0; kf < 3; ++kf) {
-        int src = f + kf - 1;
-        if (src < 0 || src >= kFDown) continue;
-        v += static_cast<int32_t>(w9.data[(kt * 3 + kf) * kC + c]) *
-             (static_cast<int32_t>(tap[c * kFDown + src]) - aq.zero);
+    int32_t* arow = acc + c * kFDown;
+    const TAct* trow = tap + c * kFDown;
+    for (int kf = 0; kf < 3; ++kf) {
+      // src = f + kf - 1 in [0, kFDown)
+      const int f_lo = kf == 0 ? 1 : 0;
+      const int f_hi = kf == 2 ? kFDown - 1 : kFDown;
+      const int32_t wv = w9.data[(kt * 3 + kf) * kC + c];
+      for (int f = f_lo; f < f_hi; ++f) {
+        arow[f] += wv * (static_cast<int32_t>(trow[f + kf - 1]) - aq.zero);
       }
-      acc[c * kFDown + f] += v;
     }
   }
 }
@@ -244,18 +302,17 @@ template <typename TAct>
 void FullFreq3AccQ(const QTensor& w, int kt, const TAct* tap, const ActQ& aq,
                    int32_t* acc) {
   for (int co = 0; co < kC; ++co) {
-    for (int f = 0; f < kFDown; ++f) {
-      int32_t v = 0;
-      for (int kf = 0; kf < 3; ++kf) {
-        int src = f + kf - 1;
-        if (src < 0 || src >= kFDown) continue;
-        for (int ci = 0; ci < kC; ++ci) {
-          v += static_cast<int32_t>(
-                   w.data[((kt * 3 + kf) * kC + co) * kC + ci]) *
-               (static_cast<int32_t>(tap[ci * kFDown + src]) - aq.zero);
+    int32_t* arow = acc + co * kFDown;
+    for (int kf = 0; kf < 3; ++kf) {
+      const int f_lo = kf == 0 ? 1 : 0;
+      const int f_hi = kf == 2 ? kFDown - 1 : kFDown;
+      for (int ci = 0; ci < kC; ++ci) {
+        const int32_t wv = w.data[((kt * 3 + kf) * kC + co) * kC + ci];
+        const TAct* trow = tap + ci * kFDown;
+        for (int f = f_lo; f < f_hi; ++f) {
+          arow[f] += wv * (static_cast<int32_t>(trow[f + kf - 1]) - aq.zero);
         }
       }
-      acc[co * kFDown + f] += v;
     }
   }
 }
