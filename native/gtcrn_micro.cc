@@ -75,44 +75,72 @@ TcnW ReadTcn(std::ifstream& f) {
 // compute helpers ([C][F] activations)
 // ---------------------------------------------------------------------------
 
+// Kernels keep the frequency axis as the INNERMOST unit-stride loop over a
+// contiguous accumulator row so the compiler auto-vectorizes them (each f
+// lane is independent -- no float reduction, so no -ffast-math needed and
+// the per-output addition ORDER matches the scalar form exactly: results
+// are bit-identical).
+constexpr int kFAcc = kFErb + 3;  // widest conv row (129) + margin
+
 // (1,5) freq conv stride 2 pad 2 + bias + PReLU: in [Ci][F] -> out [Co][outF]
 void Conv5S2(const ConvW& cw, const float* x, int ci_n, int f_in, float* out,
              int co_n, int f_out) {
   const float* w = cw.w.data.data();  // (5, Co, Ci)
   for (int co = 0; co < co_n; ++co) {
-    for (int f = 0; f < f_out; ++f) {
-      float acc = cw.b.data[co];
-      for (int k = 0; k < 5; ++k) {
-        int src = 2 * f + k - 2;
-        if (src < 0 || src >= f_in) continue;
-        for (int ci = 0; ci < ci_n; ++ci) {
-          acc += w[(k * co_n + co) * ci_n + ci] * x[ci * f_in + src];
+    float acc[kFAcc];
+    for (int f = 0; f < f_out; ++f) acc[f] = cw.b.data[co];
+    for (int k = 0; k < 5; ++k) {
+      // src = 2f + k - 2 in [0, f_in)
+      const int f_lo = k >= 2 ? 0 : 1;
+      const int f_hi = std::min(f_out, (f_in - 1 - (k - 2)) / 2 + 1);
+      for (int ci = 0; ci < ci_n; ++ci) {
+        const float wv = w[(k * co_n + co) * ci_n + ci];
+        const float* row = x + ci * f_in;
+        for (int f = f_lo; f < f_hi; ++f) {
+          acc[f] += wv * row[2 * f + k - 2];
         }
       }
-      out[co * f_out + f] = Prelu(acc, cw.a);
+    }
+    for (int f = 0; f < f_out; ++f) {
+      out[co * f_out + f] = Prelu(acc[f], cw.a);
     }
   }
 }
 
-// (1,5) transposed freq conv stride 2 pad 2: in [Ci][F] -> out [Co][2F-1]
+// (1,5) transposed freq conv stride 2 pad 2: in [Ci][F] -> out [Co][2F-1].
+// Split by output parity so the zero-stuffed taps become unit-stride: even
+// outputs f=2j <- taps k in {0,2,4} at input i = j + (k-2)/2; odd outputs
+// f=2j+1 <- taps k in {1,3} at i = j + (k-1)/2.
 void Deconv5Up2(const ConvW& cw, const float* x, int ci_n, int f_in,
                 float* out, int co_n, bool last_tanh) {
   const int f_out = 2 * f_in - 1;
+  const int n_even = f_in;
+  const int n_odd = f_in - 1;
   const float* w = cw.w.data.data();  // (5, Co, Ci)
   for (int co = 0; co < co_n; ++co) {
-    for (int f = 0; f < f_out; ++f) {
-      float acc = cw.b.data[co];
-      // dilated input xd[2i] = x[i]; out[f] = sum_k w[k] * xd[f + k - 2]
-      for (int k = 0; k < 5; ++k) {
-        int src = f + k - 2;
-        if (src < 0 || src >= f_out || (src & 1)) continue;
-        int i = src / 2;
-        for (int ci = 0; ci < ci_n; ++ci) {
-          acc += w[(k * co_n + co) * ci_n + ci] * x[ci * f_in + i];
+    float ae[kFAcc], ao[kFAcc];
+    for (int j = 0; j < n_even; ++j) ae[j] = cw.b.data[co];
+    for (int j = 0; j < n_odd; ++j) ao[j] = cw.b.data[co];
+    for (int k = 0; k < 5; ++k) {
+      const bool even = (k & 1) == 0;
+      float* acc = even ? ae : ao;
+      const int di = even ? (k - 2) / 2 : (k - 1) / 2;  // input i = j + di
+      const int j_lo = std::max(0, -di);
+      const int j_hi = std::min(even ? n_even : n_odd, f_in - di);
+      for (int ci = 0; ci < ci_n; ++ci) {
+        const float wv = w[(k * co_n + co) * ci_n + ci];
+        const float* row = x + ci * f_in;
+        for (int j = j_lo; j < j_hi; ++j) {
+          acc[j] += wv * row[j + di];
         }
       }
-      float v = acc;
-      out[co * f_out + f] = last_tanh ? std::tanh(v) : Prelu(v, cw.a);
+    }
+    float* orow = out + co * f_out;
+    for (int j = 0; j < n_even; ++j) {
+      orow[2 * j] = last_tanh ? std::tanh(ae[j]) : Prelu(ae[j], cw.a);
+    }
+    for (int j = 0; j < n_odd; ++j) {
+      orow[2 * j + 1] = last_tanh ? std::tanh(ao[j]) : Prelu(ao[j], cw.a);
     }
   }
 }
@@ -121,27 +149,40 @@ void Deconv5Up2(const ConvW& cw, const float* x, int ci_n, int f_in,
 void Pw(const Tensor& w, const Tensor& b, const float* x, int ci_n, int f_n,
         float* out, int co_n) {
   for (int co = 0; co < co_n; ++co) {
-    for (int f = 0; f < f_n; ++f) {
-      float acc = b.data[co];
-      for (int ci = 0; ci < ci_n; ++ci) {
-        acc += w.data[co * ci_n + ci] * x[ci * f_n + f];
+    float acc[kFAcc];
+    for (int f = 0; f < f_n; ++f) acc[f] = b.data[co];
+    for (int ci = 0; ci < ci_n; ++ci) {
+      const float wv = w.data[co * ci_n + ci];
+      const float* row = x + ci * f_n;
+      for (int f = 0; f < f_n; ++f) {
+        acc[f] += wv * row[f];
       }
-      out[co * f_n + f] = acc;
+    }
+    float* orow = out + co * f_n;
+    for (int f = 0; f < f_n; ++f) {
+      orow[f] = acc[f];
     }
   }
 }
 
-// depthwise 3-tap freq conv row kt of (9,C,1,1): acc += w[kt*3+kf][c]*tap
+// depthwise 3-tap freq conv row kt of (9,C,1,1): acc += w[kt*3+kf][c]*tap.
+// The per-position partial v[f] is accumulated in its own row first so the
+// grouping (acc += (t0 + t1 + t2)) matches the scalar form bit-for-bit.
 void DwFreq3Acc(const Tensor& w9, int kt, const float* tap, float* acc) {
   for (int c = 0; c < kC; ++c) {
-    for (int f = 0; f < kFDown; ++f) {
-      float v = 0.f;
-      for (int kf = 0; kf < 3; ++kf) {
-        int src = f + kf - 1;
-        if (src < 0 || src >= kFDown) continue;
-        v += w9.data[(kt * 3 + kf) * kC + c] * tap[c * kFDown + src];
+    float v[kFDown] = {};
+    const float* trow = tap + c * kFDown;
+    for (int kf = 0; kf < 3; ++kf) {
+      const int f_lo = kf == 0 ? 1 : 0;
+      const int f_hi = kf == 2 ? kFDown - 1 : kFDown;
+      const float wv = w9.data[(kt * 3 + kf) * kC + c];
+      for (int f = f_lo; f < f_hi; ++f) {
+        v[f] += wv * trow[f + kf - 1];
       }
-      acc[c * kFDown + f] += v;
+    }
+    float* arow = acc + c * kFDown;
+    for (int f = 0; f < kFDown; ++f) {
+      arow[f] += v[f];
     }
   }
 }
@@ -149,17 +190,21 @@ void DwFreq3Acc(const Tensor& w9, int kt, const float* tap, float* acc) {
 // full 3-tap freq conv row kt of (3,3,Co,Ci)
 void FullFreq3Acc(const Tensor& w, int kt, const float* tap, float* acc) {
   for (int co = 0; co < kC; ++co) {
-    for (int f = 0; f < kFDown; ++f) {
-      float v = 0.f;
-      for (int kf = 0; kf < 3; ++kf) {
-        int src = f + kf - 1;
-        if (src < 0 || src >= kFDown) continue;
-        for (int ci = 0; ci < kC; ++ci) {
-          v += w.data[((kt * 3 + kf) * kC + co) * kC + ci] *
-               tap[ci * kFDown + src];
+    float v[kFDown] = {};
+    for (int kf = 0; kf < 3; ++kf) {
+      const int f_lo = kf == 0 ? 1 : 0;
+      const int f_hi = kf == 2 ? kFDown - 1 : kFDown;
+      for (int ci = 0; ci < kC; ++ci) {
+        const float wv = w.data[((kt * 3 + kf) * kC + co) * kC + ci];
+        const float* trow = tap + ci * kFDown;
+        for (int f = f_lo; f < f_hi; ++f) {
+          v[f] += wv * trow[f + kf - 1];
         }
       }
-      acc[co * kFDown + f] += v;
+    }
+    float* arow = acc + co * kFDown;
+    for (int f = 0; f < kFDown; ++f) {
+      arow[f] += v[f];
     }
   }
 }
