@@ -86,7 +86,16 @@ class CohortServer:
     """
 
     def __init__(self, model, params, batch: int, n_cohorts: int,
-                 dtype=jnp.bfloat16, mode: str = "spec", dft: str = "mxu"):
+                 dtype=jnp.bfloat16, mode: str = "spec", dft: str = "mxu",
+                 mesh=None):
+        """``mesh``: a ``jax.sharding.Mesh`` scales the same schedule across
+        chips -- every cohort's ``batch`` streams (and its DSP state) are
+        sharded along the mesh's data axis, params replicated, so one
+        controller serves ``n_cohorts * batch`` streams over the whole mesh
+        with no steady-state collectives (the per-stream pipeline is
+        embarrassingly parallel; parallel/mesh.py).  Per-chip capacity
+        planning is unchanged: pick (batch_per_chip, K) with
+        :func:`plan_cohorts`, then ``batch = batch_per_chip * n_chips``."""
         if mode not in ("spec", "audio"):
             raise ValueError(f"mode must be 'spec' or 'audio', got {mode!r}")
         self.model = model
@@ -94,32 +103,56 @@ class CohortServer:
         self.n_cohorts = n_cohorts
         self.dtype = dtype
         self.mode = mode
+        self.mesh = mesh
         self.params = jax.tree.map(lambda v: v.astype(dtype), params)
-        if mode == "audio":
+        place_state = place_dsp = place_chunk = lambda x: x  # noqa: E731
+        if mesh is not None and mode == "audio":
+            from gtcrn_micro_tpu.parallel.mesh import (
+                make_sharded_audio_serving_step,
+                replicate,
+            )
+
+            self._step, place_state, place_dsp, place_chunk = (
+                make_sharded_audio_serving_step(model, mesh, dft=dft)
+            )
+            self.params = replicate(mesh, self.params)
+        elif mesh is not None:
+            from gtcrn_micro_tpu.parallel.mesh import (
+                make_sharded_serving_step,
+                replicate,
+            )
+
+            self._step, place_state, place_chunk = (
+                make_sharded_serving_step(model, mesh)
+            )
+            self.params = replicate(mesh, self.params)
+        elif mode == "audio":
             # audio-in -> audio-out: online STFT/iSTFT fused into the step
             # (dsp/stream_dsp.py; MXU-DFT costs ~2% over the spec step)
             from gtcrn_micro_tpu.dsp.stft import sqrt_hann_window
-            from gtcrn_micro_tpu.dsp.stream_dsp import (
-                DspState,
-                make_audio_step,
-            )
+            from gtcrn_micro_tpu.dsp.stream_dsp import make_audio_step
 
             window = sqrt_hann_window(model.config.win_len)
             self._step = jax.jit(
                 make_audio_step(model, window, dft=dft),
                 donate_argnums=(1, 2),
             )
-            self._dsp = [
-                DspState(
-                    in_buf=jnp.zeros((batch, model.config.hop_len), dtype),
-                    ola_buf=jnp.zeros((batch, model.config.hop_len), dtype),
-                )
-                for _ in range(n_cohorts)
-            ]
         else:
             self._step = jax.jit(model.step, donate_argnums=(1,))
+        self._place_chunk = place_chunk
+        if mode == "audio":
+            from gtcrn_micro_tpu.dsp.stream_dsp import DspState
+
+            self._dsp = [
+                place_dsp(DspState(
+                    in_buf=jnp.zeros((batch, model.config.hop_len), dtype),
+                    ola_buf=jnp.zeros((batch, model.config.hop_len), dtype),
+                ))
+                for _ in range(n_cohorts)
+            ]
         self._states = [
-            model.init_state(batch, dtype=dtype) for _ in range(n_cohorts)
+            place_state(model.init_state(batch, dtype=dtype))
+            for _ in range(n_cohorts)
         ]
         self._frames = [0] * n_cohorts
         self._free: list[list[int]] = [
@@ -173,14 +206,14 @@ class CohortServer:
         one hop behind (dsp/stream_dsp.py latency contract; the first
         emitted chunk per stream is the discarded center-trim region).
         """
+        frame = self._place_chunk(frame.astype(self.dtype))
         if self.mode == "audio":
             out, self._dsp[cohort], self._states[cohort] = self._step(
-                self.params, self._dsp[cohort], self._states[cohort],
-                frame.astype(self.dtype),
+                self.params, self._dsp[cohort], self._states[cohort], frame,
             )
         else:
             out, self._states[cohort] = self._step(
-                self.params, self._states[cohort], frame.astype(self.dtype)
+                self.params, self._states[cohort], frame
             )
         self._frames[cohort] += 1
         return out

@@ -112,3 +112,49 @@ def test_audio_mode_reset_zeroes_dsp_state():
     srv.reset_slot(0, 0)
     assert float(jnp.abs(srv._dsp[0].in_buf[0]).max()) == 0.0
     assert float(jnp.abs(srv._dsp[0].in_buf[1]).max()) > 0.0
+
+
+def test_sharded_cohort_server_matches_single_device():
+    """mesh-sharded CohortServer == unsharded on the virtual 8-device mesh
+    (pod-level serving: streams sharded, params replicated, no collectives)."""
+    from gtcrn_micro_tpu.parallel.mesh import make_mesh
+
+    model = GTCRNMicro()
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    batch = 8  # one stream per virtual device
+    rng = np.random.default_rng(2)
+
+    # spec mode
+    srv1 = CohortServer(model, params, batch=batch, n_cohorts=2,
+                        dtype=jnp.float32)
+    srv8 = CohortServer(model, params, batch=batch, n_cohorts=2,
+                        dtype=jnp.float32, mesh=mesh)
+    for t in range(5):
+        frames = [jnp.asarray(
+            rng.standard_normal((batch, 257, 1, 2)).astype(np.float32) * 0.4)
+            for _ in range(2)]
+        got1 = srv1.round_robin(frames)
+        got8 = srv8.round_robin(frames)
+        for a, b in zip(got1, got8):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-6)
+
+    # audio mode (the bench.py headline config, sharded)
+    sa1 = CohortServer(model, params, batch=batch, n_cohorts=1,
+                       dtype=jnp.float32, mode="audio", dft="mxu")
+    sa8 = CohortServer(model, params, batch=batch, n_cohorts=1,
+                       dtype=jnp.float32, mode="audio", dft="mxu", mesh=mesh)
+    for t in range(4):
+        chunk = jnp.asarray(
+            rng.standard_normal((batch, 256)).astype(np.float32) * 0.3)
+        a = np.asarray(sa1.step(0, chunk))
+        b = np.asarray(sa8.step(0, chunk))
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
+    # admission bookkeeping is mesh-independent
+    c = sa8.next_cohort()
+    slot = sa8.admit(c)
+    sa8.release(c, slot)
+    sa8.reset_slot(c, slot)
+    assert sa8.frames_served == 4
