@@ -1,0 +1,95 @@
+"""Auxiliary-surface tests: model registry, metric logging, smoke-data
+generator (+ its pairing contract with the dataloader), and the eval
+dispatcher (reference eval/evaluate.py:8-38) end to end on tiny wavs."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_model_registry_roundtrip():
+    from gtcrn_micro_tpu.models.registry import get_model
+
+    m = get_model("gtcrn_micro", n_fft=512, hop_len=256, win_len=512)
+    assert m.config.n_freqs == 257
+    with pytest.raises(KeyError, match="unknown model"):
+        get_model("nope")
+
+
+def test_metric_writer_jsonl(tmp_path):
+    from gtcrn_micro_tpu.utils.logging import MetricWriter
+
+    w = MetricWriter(str(tmp_path))
+    w.scalars(1, loss=2.5, lr=1e-3)
+    w.scalars(2, loss=2.0)
+    w.close()
+    lines = [json.loads(ln) for ln in
+             open(tmp_path / "metrics.jsonl").read().splitlines()]
+    assert [ln["step"] for ln in lines] == [1, 2]
+    assert lines[0]["loss"] == 2.5 and lines[0]["lr"] == 1e-3
+
+
+def test_make_smoke_data_pairs_with_dataloader(tmp_path):
+    from gtcrn_micro_tpu.train.dataloader import PairedWavDataset
+    from gtcrn_micro_tpu.utils.make_smoke_data import make_smoke_data
+
+    root = str(tmp_path / "smoke")
+    make_smoke_data(root, n_train=3, n_val=2, seconds=1.0)
+    ds = PairedWavDataset(
+        noisy_root=os.path.join(root, "train", "noisy"),
+        clean_root=os.path.join(root, "train", "clean"),
+        fs=16000,
+        length_seconds=1.0,
+        train=False,
+    )
+    assert len(ds) == 3
+    noisy, clean = ds.load_item(0)
+    assert noisy.shape == clean.shape == (16000,)
+    # noisy = clean + noise at ~5 dB SNR
+    snr = 10 * np.log10(
+        (clean**2).sum() / max(((noisy - clean) ** 2).sum(), 1e-20)
+    )
+    assert 2.0 < snr < 8.0
+
+
+def test_evaluate_dispatcher_intrusive(tmp_path):
+    """The dispatcher runs the intrusive scorer on scp manifests produced in
+    the infer layout and writes the reference's RESULTS.txt schema."""
+    from gtcrn_micro_tpu.eval.evaluate import main as evaluate_main
+    from gtcrn_micro_tpu.io.wav import write_wav
+
+    enh = tmp_path / "enhanced"
+    enh.mkdir()
+    rng = np.random.default_rng(0)
+    pairs = []
+    for uid in ("a", "b"):
+        ref = (0.1 * np.sin(2 * np.pi * 440 * np.arange(16000) / 16000)
+               ).astype(np.float32)
+        inf = (ref + 0.01 * rng.standard_normal(16000)).astype(np.float32)
+        rp, ip = enh / f"{uid}_ref.wav", enh / f"{uid}_enh.wav"
+        write_wav(str(rp), ref, 16000)
+        write_wav(str(ip), inf, 16000)
+        pairs.append((uid, rp, ip))
+    with open(enh / "ref.scp", "w") as f:
+        f.writelines(f"{u} {p}\n" for u, p, _ in pairs)
+    with open(enh / "inf.scp", "w") as f:
+        f.writelines(f"{u} {p}\n" for u, _, p in pairs)
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        "network:\n"
+        f"  enh_folder: {enh}\n"
+    )
+
+    evaluate_main(["-C", str(cfg), "--metric", "intrusive", "--nj", "1"])
+
+    out = enh / "RESULTS_intrusive"
+    results = (out / "RESULTS.txt").read_text()
+    assert "SDR" in results and "SISNR" in results
+    # per-metric scp files, one line per utterance (reference
+    # eval_intrusive_metrics.py:124-139 schema)
+    sdr_lines = (out / "SDR.scp").read_text().splitlines()
+    assert len(sdr_lines) == 2
+    # near-clean inf => strongly positive SDR
+    assert all(float(ln.split()[1]) > 10 for ln in sdr_lines)
