@@ -204,15 +204,22 @@ class BatchNorm:
 
     def __call__(self, ctx: Ctx, params, x):
         if ctx.training:
-            # reduce over batch, time, freq; channel is last
-            mean = jnp.mean(x, axis=tuple(range(x.ndim - 1)))
+            # reduce over batch, time, freq; channel is last.  Stats are
+            # computed in f32 regardless of the compute dtype (a no-op for
+            # f32 inputs): under bf16 mixed-precision training the large
+            # batch*time*freq reductions would otherwise lose the low bits
+            # that the running-stat EMA depends on.
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=tuple(range(x.ndim - 1)))
             var = jnp.mean(
-                jnp.square(x - mean), axis=tuple(range(x.ndim - 1))
+                jnp.square(xf - mean), axis=tuple(range(x.ndim - 1))
             )
             n = math.prod(x.shape[:-1])
             with ctx.scope(self.name):
                 ctx.put_stats("batch_mean", mean)
                 ctx.put_stats("batch_var", var * (n / max(n - 1, 1)))  # unbiased
+            mean = mean.astype(x.dtype)
+            var = var.astype(x.dtype)
         else:
             mean = params["running_mean"]
             var = params["running_var"]

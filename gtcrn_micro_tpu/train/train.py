@@ -145,7 +145,11 @@ def run(config, *, distributed: bool = False, max_steps: int | None = None):
     mesh = make_mesh()
     params = replicate(mesh, params)
     opt_state = replicate(mesh, opt_state)
-    train_step = jax.jit(make_train_step(model, optimizer, loss_cfg, trainer_cfg),
+    compute_dtype = (
+        jnp.bfloat16 if trainer_cfg.precision == "bf16" else None
+    )
+    train_step = jax.jit(make_train_step(model, optimizer, loss_cfg, trainer_cfg,
+                                         compute_dtype=compute_dtype),
                          donate_argnums=(0, 1))
     eval_step = jax.jit(make_eval_step(model, loss_cfg, trainer_cfg))
 

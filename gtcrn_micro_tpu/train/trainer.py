@@ -49,6 +49,9 @@ class TrainerConfig:
     hop_len: int = 256
     win_len: int = 512
     log_every: int = 50
+    # "fp32" (exact reference recipe) or "bf16" (mixed precision: bf16
+    # forward/backward on f32 masters -- see make_train_step.compute_dtype)
+    precision: str = "fp32"
 
 
 def param_labels(params) -> Any:
@@ -132,6 +135,7 @@ def make_train_step(
     trainer_cfg: TrainerConfig = TrainerConfig(),
     quantizer=None,
     freeze_bn: bool = False,
+    compute_dtype=None,
 ) -> Callable:
     """Returns jit-able ``step(params, opt_state, noisy, clean) ->
     (params, opt_state, loss)`` with noisy/clean (B, samples).
@@ -144,7 +148,15 @@ def make_train_step(
     batch stats and do not update them -- the standard recipe when
     fine-tuning a TRAINED checkpoint (QAT): tiny fine-tune batches would
     otherwise drag the running stats away from the distribution the weights
-    were trained under.  Gradients still flow to gamma/beta."""
+    were trained under.  Gradients still flow to gamma/beta.
+
+    ``compute_dtype``: ``jnp.bfloat16`` enables mixed-precision training --
+    the forward/backward runs in bf16 (params cast inside the step; the
+    MXU's native bf16-multiply/f32-accumulate mode) while the MASTER params,
+    gradients-at-leaves, Adam state, loss, STFT analysis and BN statistics
+    all stay f32 (BatchNorm computes its batch stats in f32 regardless of
+    the activation dtype, nn/core.py).  ``None`` (default) keeps the exact
+    f32 recipe of the reference (train.py:245-299)."""
     window = hann_window(trainer_cfg.win_len)
 
     def compute_loss(params, noisy, clean):
@@ -154,9 +166,15 @@ def make_train_step(
         clean_spec = stft(
             clean, window, trainer_cfg.n_fft, trainer_cfg.hop_len, trainer_cfg.win_len
         )
+        p = params
+        if compute_dtype is not None:
+            # grads flow through the cast back to the f32 masters
+            p = jax.tree.map(lambda v: v.astype(compute_dtype), params)
+            noisy_spec = noisy_spec.astype(compute_dtype)
         ctx = Ctx(training=not freeze_bn)
         ctx.quant = quantizer
-        enhanced = model._forward(params, noisy_spec, ctx)
+        enhanced = model._forward(p, noisy_spec, ctx)
+        enhanced = enhanced.astype(clean_spec.dtype)  # loss always f32
         return hybrid_loss(enhanced, clean_spec, loss_cfg), ctx.stats
 
     def train_step(params, opt_state, noisy, clean):

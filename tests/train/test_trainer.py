@@ -93,6 +93,40 @@ def test_data_parallel_matches_single_device(setup):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
 
 
+def test_bf16_mixed_precision_step(setup):
+    """compute_dtype=bf16: forward/backward in bf16, f32 masters/stats.
+
+    The first-step loss must agree with the f32 step to bf16 resolution,
+    every param leaf must stay f32 (masters never downcast), and weights +
+    BN running stats must still move."""
+    model, params0, opt, _, step_f32 = setup
+    step_bf16 = jax.jit(
+        make_train_step(model, opt, compute_dtype=jnp.bfloat16)
+    )
+    noisy, clean = _synthetic_batch(batch=4, seed=4)
+
+    _, _, loss32 = step_f32(params0, opt.init(params0), noisy, clean)
+    params = params0
+    opt_state = opt.init(params0)
+    losses = []
+    for _ in range(3):
+        params, opt_state, loss = step_bf16(params, opt_state, noisy, clean)
+        losses.append(float(loss))
+
+    assert np.isfinite(losses).all()
+    # bf16 has ~8 bits of mantissa; the end-to-end loss should match f32
+    # to a few percent on step one
+    np.testing.assert_allclose(losses[0], float(loss32), rtol=0.05)
+    for leaf in jax.tree.leaves(params):
+        assert leaf.dtype == jnp.float32, leaf.dtype
+    w0 = np.asarray(params0["encoder"]["en0"]["conv"]["w"])
+    w1 = np.asarray(params["encoder"]["en0"]["conv"]["w"])
+    assert np.abs(w1 - w0).max() > 0
+    rm0 = np.asarray(params0["encoder"]["en0"]["bn"]["running_mean"])
+    rm1 = np.asarray(params["encoder"]["en0"]["bn"]["running_mean"])
+    assert np.abs(rm1 - rm0).max() > 0
+
+
 def test_eval_step(setup):
     model, params, *_ = setup
     eval_fn = jax.jit(make_eval_step(model))
