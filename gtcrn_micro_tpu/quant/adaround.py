@@ -72,14 +72,24 @@ def _pin_mask(w: jax.Array, qp: QParams) -> jax.Array:
     return jnp.abs(w) >= amax - 1e-12
 
 
-def soft_quant_weight(w, v, channel_axis: int, hard: bool = False):
-    """AdaRounded weight (dequantized float): s*clip(floor(w/s)+h, n, p)."""
+def soft_quant_weight(w, v, channel_axis: int, hard: bool = False,
+                      ste: bool = False):
+    """AdaRounded weight (dequantized float): s*clip(floor(w/s)+h, n, p).
+
+    ``ste=True`` makes the floor/round straight-through so gradients also
+    flow to ``w`` itself (the QAT x AdaRound hybrid: the weight may move
+    across grid cells while V picks the rounding direction within one).
+    The clip still blocks gradients outside the representable range."""
     qp = weight_qparams(jax.lax.stop_gradient(w), channel_axis)
     r = w / qp.scale
     base = jnp.floor(r)
+    rounded = jnp.round(r)
+    if ste:
+        base = r + jax.lax.stop_gradient(base - r)
+        rounded = r + jax.lax.stop_gradient(rounded - r)
     frac = _h(v) if not hard else (_h(v) >= 0.5).astype(w.dtype)
     pin = _pin_mask(w, qp)
-    q = jnp.where(pin, jnp.round(r), base + frac)
+    q = jnp.where(pin, rounded, base + frac)
     return jnp.clip(q, qp.qmin, qp.qmax) * qp.scale
 
 
@@ -111,12 +121,13 @@ class AdaRoundQuantizer:
     def __init__(self, act_qp: dict[str, QParams],
                  rvars: dict[str, jax.Array] | None = None,
                  avars: dict[str, jax.Array] | None = None,
-                 hard: bool = False):
+                 hard: bool = False, ste: bool = False):
         self.act_qp = act_qp
         self.rvars = rvars if rvars is not None else {}
         self.avars = avars if avars is not None else {}
         self.collecting = rvars is None
         self.hard = hard
+        self.ste = ste
         self.axes: dict[str, int] = {}
 
     def act(self, ctx: Ctx, leaf: str, x):
@@ -140,7 +151,8 @@ class AdaRoundQuantizer:
             r = w / qp.scale
             self.rvars[path] = _h_init(r - jnp.floor(r))
             return fake_quant(w, qp)
-        return soft_quant_weight(w, self.rvars[path], channel_axis, self.hard)
+        return soft_quant_weight(w, self.rvars[path], channel_axis,
+                                 self.hard, self.ste)
 
 
 def apply_avars(act_qp: dict[str, QParams],
@@ -196,6 +208,8 @@ def adaround_optimize(
     lr_v: float = 2e-2,
     lr_a: float = 3e-3,
     lr_f: float = 1e-4,
+    lr_w: float = 0.0,
+    w_anchor: float = 0.0,
     reg_weight: float = 1e-4,
     beta_hi: float = 20.0,
     beta_lo: float = 2.0,
@@ -205,10 +219,18 @@ def adaround_optimize(
     """Jointly optimize weight rounding, activation scales and float
     correction terms against the end-to-end distillation objective.
 
+    ``lr_w > 0`` additionally trains the quantized weights THEMSELVES
+    through the soft quantizer with straight-through floors (the QAT x
+    AdaRound hybrid): rounding can only move a weight within one grid
+    cell, so when the best int8 projection needs a larger move only
+    weight training can reach it.  ``w_anchor`` optionally L2-anchors the
+    trained weights to the checkpoint values (guards the tiny distill
+    corpus against drift).
+
     Returns (baked_params, baked_act_qp): ``baked_params`` has every
     quantized weight replaced by its hard-rounded dequantized value
     (artifact-ready) with the trained float terms merged in;
-    ``baked_act_qp`` carries the learned activation scales (frozen)."""
+    ``baked_qp`` carries the learned activation scales (frozen)."""
     import optax
 
     from gtcrn_micro_tpu.dsp.stft import istft, sqrt_hann_window, stft
@@ -222,35 +244,50 @@ def adaround_optimize(
         for p, v in jax.tree_util.tree_leaves_with_path(params)
     )
     fvars = {k: v for k, v in flat.items() if _float_trainable(k)}
+    train_w = lr_w > 0.0
+    if train_w:
+        wmap = quantized_weight_tree_paths(model, params, rvars)
+        wvars = {tp: flat[tp] for tp in wmap.values()}
+        w0 = {tp: jax.lax.stop_gradient(v) for tp, v in wvars.items()}
+        w_size = sum(v.size for v in wvars.values())
+    else:
+        wvars, w0, w_size = {}, {}, 1
 
-    def merge(fv):
+    def merge(fv, wv):
         out = dict(flat)
         out.update(fv)
+        out.update(wv)
         return _unflatten_like(params, out)
 
-    def forward(rv, av, fv, spec):
-        p = merge(fv)
+    def forward(rv, av, fv, wv, spec):
+        p = merge(fv, wv)
         ctx = Ctx()
-        ctx.quant = AdaRoundQuantizer(act_qp, rvars=rv, avars=av)
+        ctx.quant = AdaRoundQuantizer(act_qp, rvars=rv, avars=av, ste=train_w)
         return model._forward(p, spec, ctx)
 
     def loss_fn(opt_vars, spec, tgt_wav, beta):
-        rv, av, fv = opt_vars
-        out = forward(rv, av, fv, spec)
+        rv, av, fv, wv = opt_vars
+        out = forward(rv, av, fv, wv, spec)
         wav = istft(out, window, length=tgt_wav.shape[-1])
         mse = jnp.mean(jnp.square(wav - tgt_wav))
         reg = sum(
             jnp.sum(1.0 - jnp.abs(2.0 * _h(v) - 1.0) ** beta)
             for v in rv.values()
         ) / sum(v.size for v in rv.values())
-        return mse + reg_weight * reg, (mse, reg)
+        loss = mse + reg_weight * reg
+        if train_w and w_anchor > 0.0:
+            loss = loss + w_anchor * sum(
+                jnp.sum(jnp.square(wv[k] - w0[k])) for k in wv
+            ) / w_size
+        return loss, (mse, reg)
 
     opt = optax.multi_transform(
-        {"v": optax.adam(lr_v), "a": optax.adam(lr_a), "f": optax.adam(lr_f)},
+        {"v": optax.adam(lr_v), "a": optax.adam(lr_a), "f": optax.adam(lr_f),
+         "w": optax.adam(lr_w if train_w else 0.0)},
         ({k: "v" for k in rvars}, {k: "a" for k in avars},
-         {k: "f" for k in fvars}),
+         {k: "f" for k in fvars}, {k: "w" for k in wvars}),
     )
-    opt_state = opt.init((rvars, avars, fvars))
+    opt_state = opt.init((rvars, avars, fvars, wvars))
 
     @jax.jit
     def train_step(opt_vars, opt_state, spec, tgt, beta):
@@ -261,7 +298,7 @@ def adaround_optimize(
         return optax.apply_updates(opt_vars, updates), opt_state, mse, reg
 
     rng = np.random.default_rng(seed)
-    opt_vars = (rvars, avars, fvars)
+    opt_vars = (rvars, avars, fvars, wvars)
     warm = max(steps // 5, 1)  # beta anneal starts after a free-move phase
     for i in range(steps):
         idx = rng.choice(len(noisy), size=batch_size, replace=True)
@@ -276,10 +313,10 @@ def adaround_optimize(
             print(f"  adaround {i + 1}/{steps}  mse {float(mse):.3e}  "
                   f"soft-frac {float(reg):.3f}  beta {beta:.1f}", flush=True)
 
-    rvars, avars, fvars = opt_vars
+    rvars, avars, fvars, wvars = opt_vars
     # bake: hard-round every quantized weight, merge float corrections,
     # freeze the learned activation scales
-    baked = _bake_params(model, merge(fvars), rvars)
+    baked = _bake_params(model, merge(fvars, wvars), rvars)
     baked_qp = apply_avars(act_qp, jax.device_get(avars))
     return baked, baked_qp
 
@@ -375,13 +412,14 @@ class _BakeHook:
         return wq
 
 
-def _bake_params(model, params, rvars) -> Any:
-    """Replace each quantized weight leaf with its hard-rounded value.
+def _trace_bake(model, params, rvars):
+    """Run the graph once with a recording hook; return the scope->tree
+    path mapping, the hard-baked values by scope path, and the flat tree.
 
     The ctx scope path of a weight ("encoder/en2/pw1/w") does not always
-    match the params tree path ("encoder/en2/point_conv1/w"), so baking
-    runs the graph once with a recording hook and maps scope->tree by
-    shared prefix + layer-name alias + shape (asserted unique)."""
+    match the params tree path ("encoder/en2/point_conv1/w"), so the
+    mapping matches scope->tree by shared prefix + layer-name alias +
+    shape (asserted unique)."""
     hook = _BakeHook(rvars)
     ctx = Ctx()
     ctx.quant = hook
@@ -392,6 +430,7 @@ def _bake_params(model, params, rvars) -> Any:
         (jax.tree_util.keystr(p, simple=True, separator="/"), v)
         for p, v in jax.tree_util.tree_leaves_with_path(params)
     )
+    mapping: dict[str, str] = {}
     used = set()
     for spath, wq in hook.baked.items():
         cands = [
@@ -401,8 +440,22 @@ def _bake_params(model, params, rvars) -> Any:
             and _scope_matches(spath, k)
         ]
         assert len(cands) == 1, f"ambiguous bake target {spath}: {cands}"
-        flat[cands[0]] = wq
+        mapping[spath] = cands[0]
         used.add(cands[0])
+    return mapping, hook.baked, flat
+
+
+def quantized_weight_tree_paths(model, params, rvars) -> dict[str, str]:
+    """{ctx scope path: params-tree path} for every quantized weight."""
+    mapping, _, _ = _trace_bake(model, params, rvars)
+    return mapping
+
+
+def _bake_params(model, params, rvars) -> Any:
+    """Replace each quantized weight leaf with its hard-rounded value."""
+    mapping, baked, flat = _trace_bake(model, params, rvars)
+    for spath, tpath in mapping.items():
+        flat[tpath] = baked[spath]
     return _unflatten_like(params, flat)
 
 
@@ -446,6 +499,11 @@ def main(args=None) -> None:
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--lr_v", type=float, default=2e-2)
     parser.add_argument("--lr_f", type=float, default=1e-4)
+    parser.add_argument("--lr_w", type=float, default=0.0,
+                        help="also train the quantized weights through the "
+                             "soft quantizer (straight-through); 0 = off")
+    parser.add_argument("--w_anchor", type=float, default=0.0,
+                        help="L2 anchor of trained weights to the ckpt")
     parser.add_argument("--reg_weight", type=float, default=2e-3)
     parser.add_argument("--post_bias_steps", type=int, default=400)
     parser.add_argument("--act_bits", type=int, default=8, choices=(8, 16))
@@ -525,7 +583,8 @@ def main(args=None) -> None:
     baked, baked_qp = adaround_optimize(
         model, params, noisy, target, act_qp,
         steps=ns.steps, batch_size=ns.batch_size,
-        lr_v=ns.lr_v, lr_f=ns.lr_f, reg_weight=ns.reg_weight,
+        lr_v=ns.lr_v, lr_f=ns.lr_f, lr_w=ns.lr_w, w_anchor=ns.w_anchor,
+        reg_weight=ns.reg_weight,
     )
 
     after_h = quant_wav_snr(model, baked, baked_qp, held_wav, held_target)

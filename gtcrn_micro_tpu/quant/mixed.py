@@ -188,6 +188,10 @@ def main(args=None) -> None:
     parser.add_argument("--train_wavs", default="noisy1,noisy2,noisy3,noisy4")
     parser.add_argument("--held_out", default="noisy5")
     parser.add_argument("--adaround_steps", type=int, default=4000)
+    parser.add_argument("--lr_w", type=float, default=0.0,
+                        help="train the quantized weights too (QAT x "
+                             "AdaRound hybrid); 0 = rounding only")
+    parser.add_argument("--w_anchor", type=float, default=0.0)
     parser.add_argument("--post_bias_steps", type=int, default=400)
     parser.add_argument("--target_db", type=float, default=40.0)
     parser.add_argument("--max_lift", type=int, default=8)
@@ -263,6 +267,7 @@ def main(args=None) -> None:
         baked8, qp8 = adaround_optimize(
             model, params, noisy, target, act_qp0,
             steps=ns.adaround_steps, reg_weight=2e-3,
+            lr_w=ns.lr_w, w_anchor=ns.w_anchor,
         )
         if ns.post_bias_steps:
             refined = bias_refine(model, baked8, noisy, target, qp8,
@@ -300,6 +305,7 @@ def main(args=None) -> None:
         baked_m, qp_m = adaround_optimize(
             model, params, noisy, target, act_qp_m0,
             steps=ns.adaround_steps, reg_weight=2e-3,
+            lr_w=ns.lr_w, w_anchor=ns.w_anchor,
         )
         if ns.post_bias_steps:
             refined = bias_refine(model, baked_m, noisy, target, qp_m,
