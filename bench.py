@@ -10,19 +10,28 @@ The step measured here is AUDIO-in -> AUDIO-out: online STFT -> model ->
 online iSTFT fused into one executable (dsp/stream_dsp.py, MXU-DFT path) --
 the complete per-frame pipeline, with nothing externalized to the host.
 
-A config is real-time iff BOTH hold with the MEASURED round-robin step time:
+A config is real-time iff BOTH hold with the MEASURED round-robin step time
+(round-robin over K real states IS the serving schedule, not a proxy):
 
 - keep-up:  K * step <= 16 ms   (every stream gets its frame each interval)
 - latency:  step + 16/K <= 10 ms (frame arrival -> enhanced output, incl.
             worst-case phase mismatch when a stream's arrival is not aligned
             to its cohort's step; BASELINE.md budget)
 
-All timings are medians over >=3 independent chains (r2 verdict: single
-chains are too noisy to decide the headline); chains are sequences of
-donated-state steps between two host value-fetches, minus the measured
-tunnel RTT (``block_until_ready`` does not block through this tunnel).
+Schedule (r3 postmortem: the r3 run hung ~15 min at the first device op and
+the old sweep-first script timed out having printed nothing):
 
-Prints ONE JSON line:
+1. verify the known champion config FIRST (PERF.md: 9 x 8,192), shrinking K
+   on a miss -- a verified headline exists within ~1 min of device attach;
+2. probe K+1 at the winner while it keeps passing;
+3. only with remaining wall-clock budget, sweep alternative batch sizes and
+   verify any that could beat the best.
+
+A monotonic deadline (GTCRN_BENCH_BUDGET_S after the first successful device
+op, default 420 s) bounds every stage; SIGTERM/SIGINT print the best
+*verified* result before exiting, so a driver timeout still captures a
+number.  All '#' lines are progress; exactly ONE JSON line is printed:
+
   {"metric": "concurrent_realtime_streams", "value": N, "unit": "streams",
    "vs_baseline": N/4096}
 """
@@ -30,6 +39,8 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
+import signal
 import time
 
 import jax
@@ -38,8 +49,42 @@ import jax.numpy as jnp
 LATENCY_BUDGET_S = 0.010  # 10 ms per frame (BASELINE.md)
 FRAME_S = 0.016  # one 256-sample hop @ 16 kHz
 BASELINE_STREAMS = 4096  # north-star target, BASELINE.md / BASELINE.json
+# PERF.md r3: the 73,728-stream plateau is shape-independent -- all three
+# configs verify it; on a slow device window one shape can miss while
+# another passes (observed r4: 9x8192 missed at 1.90 ms/step, 6x12288
+# passed), so ALL are tried before any sweep.
+CHAMPIONS = ((8192, 9), (12288, 6), (9216, 8))
+BUDGET_S = float(os.environ.get("GTCRN_BENCH_BUDGET_S", "420"))
 
 from gtcrn_micro_tpu.utils.profiling import measure_rtt, sync as _sync  # noqa: E402
+
+_BEST = {"streams": 0, "cfg": None, "emitted": False}
+_DEADLINE = [float("inf")]
+
+
+def _left() -> float:
+    return _DEADLINE[0] - time.monotonic()
+
+
+def _emit() -> None:
+    """Print the single JSON result line (idempotent)."""
+    if _BEST["emitted"]:
+        return
+    _BEST["emitted"] = True
+    streams = _BEST["streams"]
+    print(json.dumps({
+        "metric": "concurrent_realtime_streams",
+        "value": streams,
+        "unit": "streams",
+        "vs_baseline": streams / BASELINE_STREAMS,
+    }), flush=True)
+
+
+def _on_signal(signum, frame):  # noqa: ARG001
+    print(f"# signal {signum}: emitting best verified result and exiting",
+          flush=True)
+    _emit()
+    os._exit(0)
 
 
 def max_cohorts(step_s: float) -> int:
@@ -69,7 +114,7 @@ def _audio_step(model, dtype):
     return step, fresh
 
 
-def measure_step_latency(model, params, batch: int, *, chain: int = 160,
+def measure_step_latency(model, params, batch: int, *, chain: int = 96,
                          repeats: int = 3, rtt: float = 0.0,
                          dtype=jnp.bfloat16) -> tuple[float, float, float]:
     """(median, min, max) steady-state seconds per audio streaming step at
@@ -98,7 +143,7 @@ def measure_step_latency(model, params, batch: int, *, chain: int = 160,
 
 
 def measure_round_robin(model, params, batch: int, k: int, *,
-                        rounds: int = 30, repeats: int = 3,
+                        rounds: int = 20, repeats: int = 3,
                         rtt: float = 0.0, dtype=jnp.bfloat16) -> float:
     """Median seconds per cohort step when K independent states are stepped
     round-robin (the actual serving schedule, not a single-chain proxy)."""
@@ -124,7 +169,25 @@ def measure_round_robin(model, params, batch: int, k: int, *,
     return lats[len(lats) // 2]
 
 
+def _verify(model, params, b: int, k: int, rtt: float) -> tuple[bool, float]:
+    """Round-robin verify (b, k); returns (passed, measured step seconds)."""
+    rr = measure_round_robin(model, params, b, k, rtt=rtt)
+    ok = (k * rr <= FRAME_S and rr + FRAME_S / k <= LATENCY_BUDGET_S)
+    print(f"# verify K={k} x {b}: {rr * 1e3:.3f} ms/step round-robin, "
+          f"keep-up {k * rr * 1e3:.2f}/16 ms, "
+          f"latency {(rr + FRAME_S / k) * 1e3:.2f}/10 ms "
+          f"[{'OK' if ok else 'MISS'}], "
+          f"budget left {_left():.0f} s", flush=True)
+    if ok and k * b > _BEST["streams"]:
+        _BEST["streams"] = k * b
+        _BEST["cfg"] = (b, k)
+        print(f"# best-so-far: {k * b} streams (K={k} x {b})", flush=True)
+    return ok, rr
+
+
 def main() -> None:
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
     jax.config.update("jax_compilation_cache_dir", "/tmp/gtcrn_micro_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
@@ -139,87 +202,72 @@ def main() -> None:
         model.init(jax.random.PRNGKey(0)),
     )
 
+    t0 = time.monotonic()
+    print("# attaching to device (first op; may stall ~15 min after a "
+          "previous TPU process exit -- CLAUDE.md)", flush=True)
     rtt = measure_rtt()
-    print(f"# sync RTT: {rtt * 1e3:.1f} ms (amortized over 160-step chains, "
-          f"median of 3)", flush=True)
+    _DEADLINE[0] = time.monotonic() + BUDGET_S
+    print(f"# attached in {time.monotonic() - t0:.0f} s; sync RTT "
+          f"{rtt * 1e3:.1f} ms (amortized over chained steps, median of 3); "
+          f"budget {BUDGET_S:.0f} s", flush=True)
     dev = jax.devices()[0]
     print(f"# device: {dev.device_kind}, platform {dev.platform}", flush=True)
-
-    # step-time curve; per-stream cost is batch-dependent (PERF.md r3), so
-    # the best config is cohorts of a mid-size batch, not one huge batch
-    candidates = [4096, 6144, 8192, 12288, 16384, 32768]
     print("# step = audio-in -> audio-out (online STFT + model + online "
           "iSTFT, MXU-DFT)", flush=True)
-    scored = []  # (ideal streams, batch, k)
-    single_best = 0
-    for b in candidates:
-        try:
-            med, lo, hi = measure_step_latency(model, params, b, rtt=rtt)
-        except Exception as e:  # noqa: BLE001 -- OOM/compile failure at size
-            print(f"# batch {b:6d}: FAILED ({type(e).__name__})", flush=True)
+
+    # -- phase 1: champion configs first (PERF.md r3 plateau shapes) --------
+    for b, k in CHAMPIONS:
+        if _left() < 30 or k * b <= _BEST["streams"]:
             continue
-        k = max_cohorts(med)
-        streams = k * b
-        lat = (med + FRAME_S / k) * 1e3 if k else float("inf")
-        print(f"# batch {b:6d}: {med * 1e3:7.3f} ms/step "
-              f"[{lo * 1e3:.3f},{hi * 1e3:.3f}] -> K={k} cohorts = "
-              f"{streams:6d} streams, worst latency {lat:.2f} ms", flush=True)
-        if med < LATENCY_BUDGET_S:
-            single_best = max(single_best, b)
-        if streams > 0:
-            scored.append((streams, b, k))
+        ok, rr = _verify(model, params, b, k, rtt)
+        if ok:
+            break  # plateau reached; shrinking other shapes cannot beat it
+        if (b, k) == CHAMPIONS[-1] and not _BEST["streams"]:
+            # every champion missed: walk this shape down to what the
+            # measured step time supports so SOMETHING verified is emitted
+            k = min(k - 1, max_cohorts(rr))
+            while k >= 1 and _left() > 30:
+                ok, rr = _verify(model, params, b, k, rtt)
+                if ok:
+                    break
+                k = min(k - 1, max_cohorts(rr))
 
-    # verify the top candidates empirically (round-robin over K real
-    # states -- the actual serving schedule); shrink K on a miss, keep the
-    # best verified config.  Verifying several candidates makes the
-    # headline robust to a noisy window on any single batch size.
-    scored.sort(reverse=True)
-    verified = single_best
-    verified_cfg = None  # (b, k) of the verified winner
-    for ideal, b, k in scored[:3]:
-        if k * b <= verified:
-            break  # even the ideal cannot beat what is already verified
-        while k * b > verified and k >= 1:
-            rr = measure_round_robin(model, params, b, k, rtt=rtt)
-            ok = (k * rr <= FRAME_S
-                  and rr + FRAME_S / k <= LATENCY_BUDGET_S)
-            print(f"# verify K={k} x {b}: {rr * 1e3:.3f} ms/step round-robin, "
-                  f"keep-up {k * rr * 1e3:.2f}/16 ms, "
-                  f"latency {(rr + FRAME_S / k) * 1e3:.2f}/10 ms "
-                  f"[{'OK' if ok else 'MISS'}]", flush=True)
+    # -- phase 2: K+1 probes at the best verified config --------------------
+    while _BEST["streams"] and _left() > 45:
+        b, k = _BEST["cfg"]
+        ok, _ = _verify(model, params, b, k + 1, rtt)
+        if not ok:
+            break
+
+    # -- phase 3: sweep alternates with remaining budget ---------------------
+    # per-stream cost is batch-dependent (PERF.md r3), so the best config is
+    # cohorts of a mid-size batch; these brackets the champion
+    for cand in (6144, 10240, 16384, 4096):
+        if _left() < 150:  # compile (~30 s cold) + chains + verify
+            print(f"# budget: skipping sweep at batch {cand}", flush=True)
+            break
+        try:
+            med, lo, hi = measure_step_latency(model, params, cand, rtt=rtt)
+        except Exception as e:  # noqa: BLE001 -- OOM/compile failure at size
+            print(f"# batch {cand:6d}: FAILED ({type(e).__name__})", flush=True)
+            continue
+        kk = max_cohorts(med)
+        print(f"# batch {cand:6d}: {med * 1e3:7.3f} ms/step "
+              f"[{lo * 1e3:.3f},{hi * 1e3:.3f}] -> K={kk} ideal = "
+              f"{kk * cand:6d} streams", flush=True)
+        while kk * cand > _BEST["streams"] and kk >= 1 and _left() > 60:
+            ok, rr = _verify(model, params, cand, kk, rtt)
             if ok:
-                verified = max(verified, k * b)
-                verified_cfg = (b, k)
+                # opportunistic K+1 at the new winner too
+                while _left() > 45:
+                    ok2, _ = _verify(model, params, cand, kk + 1, rtt)
+                    if not ok2:
+                        break
+                    kk += 1
                 break
-            k -= 1
+            kk = min(kk - 1, max_cohorts(rr))
 
-    # opportunistic: try K+1 at the verified winner while the round-robin
-    # measurement keeps passing (device windows vary ~10%; on a fast window
-    # the same config sustains one more cohort -- the empirical check is
-    # the gate either way)
-    if verified_cfg is not None:
-        b, k = verified_cfg
-        while True:
-            rr = measure_round_robin(model, params, b, k + 1, rtt=rtt)
-            ok = ((k + 1) * rr <= FRAME_S
-                  and rr + FRAME_S / (k + 1) <= LATENCY_BUDGET_S)
-            print(f"# probe K={k + 1} x {b}: {rr * 1e3:.3f} ms/step "
-                  f"round-robin [{'OK' if ok else 'MISS'}]", flush=True)
-            if not ok:
-                break
-            k += 1
-            verified = max(verified, k * b)
-
-    streams = verified
-    print(f"# single-batch mode best (continuity with r1/r2): "
-          f"{single_best} streams", flush=True)
-
-    print(json.dumps({
-        "metric": "concurrent_realtime_streams",
-        "value": streams,
-        "unit": "streams",
-        "vs_baseline": streams / BASELINE_STREAMS,
-    }), flush=True)
+    _emit()
 
 
 if __name__ == "__main__":
