@@ -155,32 +155,51 @@ class CohortServer:
             for _ in range(n_cohorts)
         ]
         self._frames = [0] * n_cohorts
+        # clean free slots (rings are zeros) and recycled free slots (rings
+        # still carry a previous stream's audio history).  admit() prefers
+        # clean slots and auto-resets a recycled one before handing it out
+        # (r3 verdict: handing out a dirty slot leaks the prior stream's
+        # state into the new stream -- a correctness AND privacy bug).
         self._free: list[list[int]] = [
             list(range(batch)) for _ in range(n_cohorts)
         ]
+        self._recycled: list[list[int]] = [[] for _ in range(n_cohorts)]
 
     # -- admission ---------------------------------------------------------
 
     def next_cohort(self) -> int:
         """Cohort with the most free slots (load balancing)."""
-        return max(range(self.n_cohorts), key=lambda i: len(self._free[i]))
+        return max(
+            range(self.n_cohorts),
+            key=lambda i: len(self._free[i]) + len(self._recycled[i]),
+        )
 
     def admit(self, cohort: int) -> int:
-        """Claim a stream slot in ``cohort``; returns the slot id.  The
-        slot's ring state is already zeros (a fresh stream's silence
-        history), so no per-stream reset is needed on admission."""
-        if not self._free[cohort]:
-            raise RuntimeError(f"cohort {cohort} full")
-        return self._free[cohort].pop()
+        """Claim a stream slot in ``cohort``; returns the slot id with its
+        ring state guaranteed zero (a fresh stream's silence history).
+        Clean slots are handed out first at no device cost; once the cohort
+        has churned through every slot, recycled slots are auto-reset here
+        (one fused ``at[slot].set(0)`` over the cohort's state pytree)."""
+        if self._free[cohort]:
+            return self._free[cohort].pop()
+        if self._recycled[cohort]:
+            slot = self._recycled[cohort].pop()
+            self.reset_slot(cohort, slot)
+            return slot
+        raise RuntimeError(f"cohort {cohort} full")
 
     def release(self, cohort: int, slot: int) -> None:
-        """Return a slot; its rings are re-zeroed lazily at next admit via
-        ``reset_slot`` (cheap host-side mask would defeat donation, so the
-        caller zeroes explicitly when reusing a dirty slot)."""
-        self._free[cohort].append(slot)
+        """Return a slot to the recycled pool; its rings are re-zeroed
+        lazily when it is next admitted (zeroing on release would pay the
+        reset even for slots never reused)."""
+        self._recycled[cohort].append(slot)
 
     def reset_slot(self, cohort: int, slot: int) -> None:
-        """Zero one stream's rings (before reusing a released slot)."""
+        """Zero one stream's rings (idempotent).  A slot waiting in the
+        recycled pool moves back to the clean pool."""
+        if slot in self._recycled[cohort]:
+            self._recycled[cohort].remove(slot)
+            self._free[cohort].append(slot)
         st = self._states[cohort]
         self._states[cohort] = {
             k: (v if k == "step" else v.at[slot].set(0))

@@ -73,6 +73,55 @@ def test_admission_lifecycle():
         assert float(jnp.abs(v[1 - a]).max()) > 0.0  # the live slot kept data
 
 
+def test_slot_churn_second_stream_independent_of_first():
+    """admit -> stream -> release -> admit reuse: the recycled slot must be
+    auto-reset so the second stream's output carries nothing of the first's
+    ring history (r3 verdict: dirty-slot reuse was a correctness + privacy
+    bug -- the old admit() handed the slot back with stale state)."""
+    model = GTCRNMicro()
+    params = model.init(jax.random.PRNGKey(0))
+    srv = CohortServer(model, params, batch=2, n_cohorts=1,
+                       dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    loud = jnp.asarray(rng.standard_normal((2, 257, 1, 2)), jnp.float32)
+
+    a = srv.admit(0)
+    b = srv.admit(0)
+    for _ in range(4):  # fill slot a's rings with the first stream's history
+        srv.step(0, loud)
+    srv.release(0, a)
+    a2 = srv.admit(0)  # cohort churned through every slot -> recycled reuse
+    assert a2 == a
+
+    # rings of the re-admitted slot are zeros; the live slot kept its state
+    for k, v in srv._states[0].items():
+        if k == "step":
+            continue
+        assert float(jnp.abs(v[a2]).max()) == 0.0, k
+        assert float(jnp.abs(v[b]).max()) > 0.0, k
+
+    # end-to-end: the second stream's output equals a fresh server's
+    fresh = CohortServer(model, params, batch=2, n_cohorts=1,
+                         dtype=jnp.float32)
+    second = jnp.asarray(rng.standard_normal((2, 257, 1, 2)), jnp.float32)
+    for _ in range(3):
+        got = np.asarray(srv.step(0, second))
+        want = np.asarray(fresh.step(0, second))
+    np.testing.assert_allclose(got[a2], want[a2], atol=1e-6)
+
+    # clean slots are preferred: releasing into a part-empty cohort must not
+    # hand the dirty slot straight back
+    srv2 = CohortServer(model, params, batch=2, n_cohorts=1,
+                        dtype=jnp.float32)
+    first = srv2.admit(0)
+    srv2.step(0, loud)
+    srv2.release(0, first)
+    assert srv2.admit(0) != first  # the never-used slot goes first
+    # explicit reset moves a recycled slot back to the clean pool
+    srv2.reset_slot(0, first)
+    assert first in srv2._free[0] and first not in srv2._recycled[0]
+
+
 def test_audio_mode_matches_offline_pipeline():
     from gtcrn_micro_tpu.dsp import istft, sqrt_hann_window, stft
 
