@@ -97,6 +97,17 @@ def main(args=None) -> None:
             for metric in METRICS:
                 mean = np.nanmean([score[metric] for _, score in ret])
                 f.write(f"{metric}: {mean:.4f}\n")
+            # surface the scorer's provenance/limits IN the results file,
+            # not just module docstrings (r3 verdict: a general-looking CLI
+            # must not silently mis-score externally produced material)
+            f.write(
+                "# NOTE: PESQ/STOI are from-spec implementations "
+                "(eval/pesq.py, eval/metrics.py), ladder-calibrated, not "
+                "the ITU/pystoi binaries (EVAL.md 'metric provenance').\n"
+                "# NOTE: PESQ time alignment estimates ONE global delay -- "
+                "exact for this framework's sample-aligned outputs; wav "
+                "pairs with drifting delay will be mis-scored.\n"
+            )
         print(f"Overall results have been written in "
               f"{os.path.join(ns.output_dir, 'RESULTS.txt')}", flush=True)
 

@@ -187,9 +187,10 @@ def _loudness(power: np.ndarray) -> np.ndarray:
 
 # Loudness scale: calibrated so the white-noise degradation curve on real
 # speech lands on typical published wb-PESQ anchors
-# (~{40dB: 4.1, 30: 3.5, 20: 2.8, 10: 2.0, 0: 1.4}; rmse 0.15 at this
-# value -- see tests/eval/test_pesq.py).  It plays the role the ITU code's
-# Sl_16k constant plays against its own band tables.
+# (~{40dB: 4.1, 30: 3.5, 20: 2.8, 10: 2.0, 0: 1.4}; pinned with rmse < 0.2
+# by tests/eval/test_pesq.py::test_white_noise_ladder_tracks_published_anchors).
+# It plays the role the ITU code's Sl_16k constant plays against its own
+# band tables.
 SL_SCALE = 4.665e-1
 
 

@@ -65,6 +65,53 @@ def test_monotone_in_noise_and_plausible_range():
     assert all(1.0 <= s <= MAX_WB + 1e-6 for s in scores)
 
 
+# Literature-typical wideband-PESQ values for white noise added to clean
+# speech at a given SNR (the curve every P.862.2 evaluation paper reports;
+# the pesq package itself is not installable here, zero egress).  These are
+# the calibration targets of eval/pesq.SL_SCALE -- this test pins the
+# quantified statement "from-spec PESQ = published white-noise anchors
+# +/- the rmse below" (EVAL.md 'metric provenance') and guards regressions.
+WHITE_NOISE_ANCHORS = {40: 4.1, 30: 3.5, 20: 2.8, 10: 2.0, 0: 1.4}
+
+
+def test_white_noise_ladder_tracks_published_anchors():
+    x = _speech()
+    rng = np.random.default_rng(0)
+    errs = []
+    for snr, want in sorted(WHITE_NOISE_ANCHORS.items()):
+        n = rng.standard_normal(len(x))
+        n *= np.sqrt((x**2).mean() / (n**2).mean() / 10 ** (snr / 10))
+        got = pesq_wb(x, x + n)
+        errs.append(got - want)
+        assert abs(got - want) < 0.35, (snr, got, want)
+    rmse = float(np.sqrt(np.mean(np.square(errs))))
+    assert rmse < 0.20, (rmse, errs)
+
+
+def test_degradation_type_ladders_are_monotone():
+    """Qualitative P.862 behaviors beyond additive noise: heavier lowpass
+    filtering and heavier clipping must strictly lower the score, and every
+    score must sit inside the valid range."""
+    x = _speech()
+
+    def lowpass(sig, cutoff_hz):
+        spec = np.fft.rfft(sig)
+        freqs = np.fft.rfftfreq(len(sig), 1.0 / 16000)
+        return np.fft.irfft(np.where(freqs <= cutoff_hz, spec, 0), len(sig))
+
+    lp_scores = [pesq_wb(x, lowpass(x, c)) for c in (7000, 5000, 3000, 1500)]
+    assert all(a > b for a, b in zip(lp_scores, lp_scores[1:])), lp_scores
+
+    peak = np.abs(x).max()
+    clip_scores = [
+        pesq_wb(x, np.clip(x, -t * peak, t * peak))
+        for t in (0.5, 0.2, 0.05)
+    ]
+    assert all(a > b for a, b in zip(clip_scores, clip_scores[1:])), clip_scores
+    for s in lp_scores + clip_scores:
+        assert 1.0 <= s <= MAX_WB + 1e-6
+
+
 # Frozen goldens of THIS implementation on the reference's shipped pairs
 # (enh as reference signal, noisy as degraded): regression pins, not ITU
 # values.  Deterministic float64 numpy -> tight tolerance.

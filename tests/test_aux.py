@@ -87,6 +87,9 @@ def test_evaluate_dispatcher_intrusive(tmp_path):
     out = enh / "RESULTS_intrusive"
     results = (out / "RESULTS.txt").read_text()
     assert "SDR" in results and "SISNR" in results
+    # metric provenance + the global-delay limitation surface IN the
+    # results file (r3 verdict weak #3), not just module docstrings
+    assert "# NOTE" in results and "global delay" in results
     # per-metric scp files, one line per utterance (reference
     # eval_intrusive_metrics.py:124-139 schema)
     sdr_lines = (out / "SDR.scp").read_text().splitlines()
