@@ -94,9 +94,10 @@ def max_cohorts(step_s: float) -> int:
     return plan_cohorts(step_s, batch=0).n_cohorts
 
 
-def _audio_step(model, dtype):
+def _audio_step(model, dtype, **state_opts):
     """(jitted audio step, fresh-state factory) -- the served executable:
-    online STFT -> model streaming step -> online iSTFT (MXU-DFT form)."""
+    online STFT -> model streaming step -> online iSTFT (MXU-DFT form).
+    ``state_opts`` forward to ``init_state`` (l2_psum, store_dtype, ...)."""
     from gtcrn_micro_tpu.dsp.stft import sqrt_hann_window
     from gtcrn_micro_tpu.dsp.stream_dsp import DspState, make_audio_step
 
@@ -109,18 +110,19 @@ def _audio_step(model, dtype):
             in_buf=jnp.zeros((batch, model.config.hop_len), dtype),
             ola_buf=jnp.zeros((batch, model.config.hop_len), dtype),
         )
-        return dsp, model.init_state(batch, dtype=dtype)
+        return dsp, model.init_state(batch, dtype=dtype, **state_opts)
 
     return step, fresh
 
 
 def measure_step_latency(model, params, batch: int, *, chain: int = 96,
                          repeats: int = 3, rtt: float = 0.0,
-                         dtype=jnp.bfloat16) -> tuple[float, float, float]:
+                         dtype=jnp.bfloat16,
+                         **state_opts) -> tuple[float, float, float]:
     """(median, min, max) steady-state seconds per audio streaming step at
     ``batch`` concurrent streams, over ``repeats`` chains of ``chain``
     sequentially-dependent donated-state steps."""
-    step, fresh = _audio_step(model, dtype)
+    step, fresh = _audio_step(model, dtype, **state_opts)
     dsp, state = fresh(batch)
     chunk = jnp.zeros((batch, model.config.hop_len), dtype)
 

@@ -148,6 +148,7 @@ class GTCRNMicro:
 
     def init_state(
         self, batch: int, dtype=jnp.float32, ring: bool = True,
+        l2_psum: bool = False, store_dtype=None,
     ) -> dict:
         """Zeroed streaming caches (flat dict path->array), batched over
         ``batch`` concurrent streams.
@@ -160,11 +161,28 @@ class GTCRNMicro:
         slot layout differs between chunk sizes after the first step).
         ``ring=False``: shift-based caches (any chunk size; the oracle path
         for tests).
+
+        ``l2_psum=True`` (ring mode only): the L==2 temporal convs (the 6
+        GTConv depth convs, the 2 d=1 TCN convs and the 6 TRA energy convs)
+        carry their two partial OUTPUT frames instead of a 2-frame input
+        ring -- same products reassociated, but nothing for XLA's
+        memory-space assignment to stage/evict (the ring evictions were the
+        25.8%% 'copies' row of PERF.md's serving trace).  The canonical
+        input-ring layout (``l2_psum=False``, default) matches the
+        reference's cache inventory shape-for-shape.
+
+        ``store_dtype`` (ring mode only): store the ring caches in a
+        narrower dtype than the compute dtype (e.g. ``jnp.float8_e4m3fn``)
+        and cast on tap read -- halves ring HBM bytes at a quality cost
+        that compounds through the recurrence (PERF.md r4 measures both).
+        The step infers the mode from the state's own dtypes.
         """
         cfg = self.config
 
         def trace(params, spec):
-            ctx = Ctx(state={}, initializing=True, ring=ring)
+            ctx = Ctx(state={}, initializing=True, ring=ring,
+                      l2_psum=ring and l2_psum,
+                      store_dtype=store_dtype if ring else None)
             self._forward(params, spec, ctx)
             return ctx.new_state
 
@@ -194,7 +212,11 @@ class GTCRNMicro:
             raise ValueError(
                 f"ring state needs a power-of-two chunk <= 16, got T={T}"
             )
-        ctx = Ctx(state=state, ring=ring, step=state.get("step"))
+        # the cache strategy is encoded in the state's own key layout, so a
+        # step() caller never has to carry mode flags alongside the pytree
+        l2_psum = ring and any(k.endswith("psum_a") for k in state)
+        ctx = Ctx(state=state, ring=ring, step=state.get("step"),
+                  l2_psum=l2_psum)
         out = self._forward(params, spec, ctx)
         new_state = ctx.new_state
         if ring:

@@ -67,6 +67,8 @@ class Ctx:
         initializing: bool = False,
         ring: bool = False,
         step: Any = None,
+        l2_psum: bool = False,
+        store_dtype: Any = None,
     ):
         self.training = training
         self.state = state if state is not None or not initializing else {}
@@ -87,6 +89,21 @@ class Ctx:
         # one-definition invariant tight.
         self.ring = ring
         self.step = step
+        # Direct-form-II-transposed state for the L==2 (kT=3, d=1) temporal
+        # convs: instead of a 2-frame input ring (which XLA's memory-space
+        # assignment stages in VMEM and evicts with a full-ring copy every
+        # step -- the 25.8% "copies" row in PERF.md's serving trace), carry
+        # the two PARTIAL OUTPUT frames (a = w0*x_t, b = w1*x_t + a_prev,
+        # out = w2*x_t + b_prev).  Both state entries are freshly computed
+        # values each step -- no dynamic indexing, no passthrough identity,
+        # nothing for MSA to stage or copy.  Rings with L >= 4 already alias
+        # in place and keep the ring form.
+        self.l2_psum = l2_psum
+        # Optional narrower STORAGE dtype for ring caches (e.g. fp8_e4m3):
+        # rings are stored narrow and cast to the compute dtype on tap read
+        # (the cast fuses into the conv's input), halving ring HBM bytes.
+        # None = rings stored in the compute dtype.
+        self.store_dtype = store_dtype
         # Optional quantization hook (duck-typed, see quant/): an object with
         # ``act(ctx, leaf, x)`` and ``weight(ctx, leaf, w, channel_axis)``
         # called at every conv/matmul boundary.  None = fp32 path, zero cost.
@@ -308,6 +325,66 @@ class CausalConv2d:
             precision=PRECISION,
         )
 
+    def _psum_call(self, ctx: Ctx, params, x):
+        """Direct-form-II-transposed streaming step for kT==3, d==1 convs.
+
+        Carried state = the two partial OUTPUT frames still owed to future
+        steps (``psum_b`` = w1*x_{t-1} + w0*x_{t-2}, ``psum_a`` = w0*x_{t-1})
+        instead of a 2-frame input ring.  Exactly the same products as the
+        ring form, reassociated -- streaming == offline to fp tolerance --
+        but every state output is a freshly computed value, so XLA has
+        nothing to stage in VMEM and nothing to evict with a copy (PERF.md
+        r4: the L==2 rings were the 'copies 25.8%' row of the serving
+        trace).  T >= 2 chunks add the cross-boundary terms to the first two
+        frames and slide the in-chunk terms with static slices.
+        """
+        with ctx.scope(self.name):
+            w = params["w"]
+            if not ctx.initializing and ctx.quant is not None:
+                # partial sums are plain reassociation of the quantized
+                # products, so quantizing the incoming frames and weights at
+                # the boundary keeps fake-quant streaming == offline
+                x = ctx.quant.act(ctx, "in", x)
+                w = ctx.quant.weight(ctx, "w", w, 3)
+            if ctx.initializing:
+                # one-frame conv fixes the partial-output state shape; this
+                # path only ever runs under init_state's eval_shape trace
+                z = jnp.zeros_like(self._freq_conv(w[0:1], x[:, :1]))
+                ctx.put_state("psum_b", z)
+                ctx.put_state("psum_a", z)
+                return jnp.zeros_like(x)  # shape proxy, unused
+            a = ctx.get_state("psum_a")
+            b = ctx.get_state("psum_b")
+            T = x.shape[1]
+            # three separate per-tap convs on the shared input.  Merging
+            # them into ONE grouped conv with 3x output channels was built
+            # and measured ~30% SLOWER at the serving batches (PERF.md r4:
+            # XLA lowers grouped convs with 3 outputs per group far worse
+            # than three depthwise calls) -- keep the per-tap form.
+            c2 = self._freq_conv(w[2:3], x)
+            c1 = self._freq_conv(w[1:2], x)
+            c0 = self._freq_conv(w[0:1], x)
+            if T == 1:
+                out = c2 + b
+                new_b = c1 + a
+                new_a = c0
+            else:
+                # out[0] += b (both left-context taps), out[1] += a (the
+                # w0 tap of the last pre-chunk frame); interior frames use
+                # the chunk's own shifted partials
+                shift1 = jnp.concatenate([b, c1[:, : T - 1]], axis=1)
+                shift0 = jnp.concatenate(
+                    [jnp.zeros_like(a), a, c0[:, : T - 2]], axis=1
+                )
+                out = c2 + shift1 + shift0
+                new_b = c1[:, T - 1 :] + c0[:, T - 2 : T - 1]
+                new_a = c0[:, T - 1 :]
+            ctx.put_state("psum_b", new_b)
+            ctx.put_state("psum_a", new_a)
+        if self.bias:
+            out = out + params["b"]
+        return out
+
     def _ring_call(self, ctx: Ctx, params, x):
         """Ring-buffer streaming step over a T-frame chunk (T = x.shape[1]).
 
@@ -328,6 +405,8 @@ class CausalConv2d:
         d = self.dilation[0]
         L = self.time_context  # (kT-1)*d
         T = x.shape[1]
+        if ctx.l2_psum and kT == 3 and d == 1:
+            return self._psum_call(ctx, params, x)
 
         with ctx.scope(self.name):
             w = params["w"]
@@ -339,10 +418,13 @@ class CausalConv2d:
                 w = ctx.quant.weight(ctx, "w", w, 3)
             if ctx.initializing:
                 ctx.put_state(
-                    "ring", jnp.zeros((x.shape[0], L) + x.shape[2:], x.dtype)
+                    "ring",
+                    jnp.zeros((x.shape[0], L) + x.shape[2:],
+                              ctx.store_dtype or x.dtype),
                 )
                 return jnp.zeros_like(x)  # shape proxy, unused
             ring = ctx.get_state("ring")
+            store = ring.dtype
             t = ctx.step
             if d >= T:
                 # tap j (j < kT-1) applies w[j] to frames
@@ -356,10 +438,11 @@ class CausalConv2d:
                 for j in range(kT - 1):
                     slot = jax.lax.rem(t + j * d, L)
                     tap = jax.lax.dynamic_slice_in_dim(ring, slot, T, axis=1)
-                    out = out + self._freq_conv(w[j : j + 1], tap)
+                    out = out + self._freq_conv(w[j : j + 1],
+                                                tap.astype(x.dtype))
                 # overwrite the oldest T slots (t mod L) with the chunk
                 new_ring = jax.lax.dynamic_update_slice_in_dim(
-                    ring, x, jax.lax.rem(t, L), axis=1
+                    ring, x.astype(store), jax.lax.rem(t, L), axis=1
                 )
             else:
                 # d < T: taps straddle the chunk boundary; run the plain
@@ -367,9 +450,9 @@ class CausalConv2d:
                 # L frames IN TIME ORDER (no rotation: it is fully rewritten
                 # every step, and for kT==3 d<T implies L<=T so the new cache
                 # is a pure slice of the incoming chunk).
-                xin = jnp.concatenate([ring, x], axis=1)
+                xin = jnp.concatenate([ring.astype(x.dtype), x], axis=1)
                 out = self._freq_conv(w, xin)
-                new_ring = xin[:, xin.shape[1] - L :]
+                new_ring = xin[:, xin.shape[1] - L :].astype(store)
             ctx.put_state("ring", new_ring)
         if self.bias:
             out = out + params["b"]
@@ -509,24 +592,56 @@ class TRALite:
             if ctx.quant is not None:
                 e = ctx.quant.act(ctx, "energy", e)
                 depth_w = ctx.quant.weight(ctx, "depth_w", depth_w, 1)
+            if ctx.l2_psum:
+                # direct-form-II-transposed energy conv (see
+                # CausalConv2d._psum_call): state = two partial output
+                # frames, freshly computed each step -- no ring indexing
+                a = ctx.get_state("psum_a")  # (B, 1, C)
+                b = ctx.get_state("psum_b")
+                c2 = e * depth_w[2]
+                c1 = e * depth_w[1]
+                c0 = e * depth_w[0]
+                if T == 1:
+                    y = params["depth_b"] + c2 + b
+                    new_b = c1 + a
+                    new_a = c0
+                else:
+                    shift1 = jnp.concatenate([b, c1[:, : T - 1]], axis=1)
+                    shift0 = jnp.concatenate(
+                        [jnp.zeros_like(a), a, c0[:, : T - 2]], axis=1
+                    )
+                    y = params["depth_b"] + c2 + shift1 + shift0
+                    new_b = c1[:, T - 1 :] + c0[:, T - 2 : T - 1]
+                    new_a = c0[:, T - 1 :]
+                ctx.put_state("psum_b", new_b)
+                ctx.put_state("psum_a", new_a)
+                if ctx.quant is not None:
+                    y = ctx.quant.act(ctx, "gate_in", y)
+                    point_w = ctx.quant.weight(ctx, "point_w", point_w, 1)
+                g = jax.nn.sigmoid(
+                    jnp.dot(y, point_w, precision=PRECISION)
+                    + params["point_b"]
+                )
+                return x * g[:, :, None, :]
             t = ctx.step
             ring = ctx.get_state("ring")  # (B, L, C)
+            store = ring.dtype
             if T == 1:
                 y = params["depth_b"] + e[:, 0] * depth_w[self.kernel - 1]
                 for j in range(self.kernel - 1):
                     slot = jax.lax.rem(t + j, L)
                     tap = jax.lax.dynamic_slice_in_dim(ring, slot, 1, axis=1)
-                    y = y + tap[:, 0] * depth_w[j]
+                    y = y + tap[:, 0].astype(e.dtype) * depth_w[j]
                 y = y[:, None]  # (B, 1, C)
                 new_ring = jax.lax.dynamic_update_slice_in_dim(
-                    ring, e, jax.lax.rem(t, L), axis=1
+                    ring, e.astype(store), jax.lax.rem(t, L), axis=1
                 )
             else:
-                e_cat = jnp.concatenate([ring, e], axis=1)  # (B, L+T, C)
+                e_cat = jnp.concatenate([ring.astype(e.dtype), e], axis=1)
                 y = params["depth_b"]
                 for i in range(self.kernel):
                     y = y + e_cat[:, i : i + T, :] * depth_w[i]
-                new_ring = e_cat[:, e_cat.shape[1] - L :]
+                new_ring = e_cat[:, e_cat.shape[1] - L :].astype(store)
             ctx.put_state("ring", new_ring)
             if ctx.quant is not None:
                 y = ctx.quant.act(ctx, "gate_in", y)
@@ -546,10 +661,21 @@ class TRALite:
             if ctx.streaming:
                 with ctx.scope(self.name):
                     if ctx.initializing:
-                        cache = jnp.zeros(
-                            (e.shape[0], L, e.shape[2]), dtype=e.dtype
-                        )
-                        ctx.put_state("ring" if ctx.ring else "cache", cache)
+                        if ctx.ring and ctx.l2_psum:
+                            z = jnp.zeros(
+                                (e.shape[0], 1, e.shape[2]), dtype=e.dtype
+                            )
+                            ctx.put_state("psum_b", z)
+                            ctx.put_state("psum_a", z)
+                        else:
+                            cache = jnp.zeros(
+                                (e.shape[0], L, e.shape[2]),
+                                dtype=(ctx.store_dtype or e.dtype)
+                                if ctx.ring else e.dtype,
+                            )
+                            ctx.put_state(
+                                "ring" if ctx.ring else "cache", cache
+                            )
                     else:
                         cache = ctx.get_state("cache")
                         e_cat = jnp.concatenate([cache, e], axis=1)

@@ -166,6 +166,70 @@ def test_ring_streaming_equals_shift_streaming(model, params):
     )
 
 
+def test_psum_streaming_equals_offline(model, params):
+    """l2_psum serving state (direct-form-II-transposed L==2 caches) ==
+    offline, across a full mod-16 counter wrap.  Also pins the state
+    inventory: all 14 L==2 caches (6 GTConv convs, 2 d=1 TCN convs, 6 TRA
+    energy convs) become partial-output pairs; the L>=4 rings stay rings."""
+    spec = jax.random.normal(jax.random.PRNGKey(13), (2, 257, 20, 2)) * 0.5
+    offline = model.apply_jit(params, spec)
+    state = model.init_state(2, ring=True, l2_psum=True)
+    psum_a = [k for k in state if k.endswith("psum_a")]
+    rings = [k for k in state if k.endswith("/ring")]
+    assert len(psum_a) == 14
+    assert len(rings) == 6  # d in {2,4,8} x 2 GTCNs keep the ring form
+    outs = []
+    for t in range(20):
+        y, state = model.step_jit(params, state, spec[:, :, t : t + 1])
+        outs.append(np.asarray(y))
+    np.testing.assert_allclose(
+        np.concatenate(outs, 2), np.asarray(offline), atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("chunk", [2, 4, 16])
+def test_chunked_psum_streaming_equals_offline(model, params, chunk):
+    """T-frame chunks through the psum state: the cross-boundary correction
+    terms (first two frames of each chunk) must reproduce offline exactly,
+    including across counter wraps."""
+    n = 32
+    spec = jax.random.normal(jax.random.PRNGKey(15), (2, 257, n, 2)) * 0.5
+    offline = model.apply_jit(params, spec)
+    state = model.init_state(2, ring=True, l2_psum=True)
+    outs = []
+    for t0 in range(0, n, chunk):
+        y, state = model.step_jit(
+            params, state, spec[:, :, t0 : t0 + chunk, :]
+        )
+        outs.append(np.asarray(y))
+    np.testing.assert_allclose(
+        np.concatenate(outs, axis=2), np.asarray(offline), atol=1e-5
+    )
+
+
+def test_fp8_ring_storage_runs_and_degrades_gracefully(model, params):
+    """store_dtype=fp8_e4m3: ring caches stored narrow, cast on tap read.
+    The mode must (a) actually store fp8, (b) stay finite over a counter
+    wrap, (c) track the fp32 stream with bounded error -- the quality cost
+    compounds through the recurrence, so this is a deployment OPTION, not
+    the serving default (PERF.md r4 measures the speed side)."""
+    spec = jax.random.normal(jax.random.PRNGKey(17), (1, 257, 20, 2)) * 0.5
+    offline = np.asarray(model.apply_jit(params, spec))
+    state = model.init_state(1, ring=True,
+                             store_dtype=jnp.float8_e4m3fn)
+    rings = [k for k in state if k.endswith("/ring")]
+    assert rings and all(state[k].dtype == jnp.float8_e4m3fn for k in rings)
+    outs = []
+    for t in range(20):
+        y, state = model.step_jit(params, state, spec[:, :, t : t + 1])
+        outs.append(np.asarray(y))
+    got = np.concatenate(outs, 2)
+    assert np.isfinite(got).all()
+    err = got - offline
+    snr = 10 * np.log10(np.sum(offline**2) / max(np.sum(err**2), 1e-20))
+    assert snr > 10.0, f"fp8 ring storage SNR {snr:.1f} dB"
+
+
 def test_bn_folding_equivalence(model, params):
     """fold_bn_params must be numerically equivalent (serving transform)."""
     from gtcrn_micro_tpu.models.folding import fold_bn_params

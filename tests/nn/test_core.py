@@ -13,15 +13,21 @@ from gtcrn_micro_tpu.nn.core import BatchNorm, CausalConv2d, Ctx, TRALite
 torch = pytest.importorskip("torch")
 
 
-def _stream(layer, params, x, ring: bool):
-    """Frame-by-frame streaming through a single layer."""
-    ctx0 = Ctx(state={}, initializing=True, ring=ring)
+def _stream(layer, params, x, mode):
+    """Frame-by-frame streaming through a single layer.
+
+    mode: False = shift caches, True = ring buffers, "psum" = ring buffers
+    with the L==2 direct-form-II-transposed partial-output state."""
+    ring = bool(mode)
+    psum = mode == "psum"
+    ctx0 = Ctx(state={}, initializing=True, ring=ring, l2_psum=psum)
     layer(ctx0, params, x[:, :1])
     state = {k: jnp.zeros(v.shape, v.dtype) for k, v in ctx0.new_state.items()}
     step = jnp.zeros((), jnp.int32)
     outs = []
     for t in range(x.shape[1]):
-        ctx = Ctx(state=state, ring=ring, step=step if ring else None)
+        ctx = Ctx(state=state, ring=ring, step=step if ring else None,
+                  l2_psum=psum)
         outs.append(layer(ctx, params, x[:, t : t + 1]))
         state = ctx.new_state
         step = (step + 1) & 15
@@ -96,7 +102,7 @@ def test_batchnorm_matches_torch():
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
-@pytest.mark.parametrize("ring", [False, True])
+@pytest.mark.parametrize("ring", [False, True, "psum"])
 @pytest.mark.parametrize("dilation", [1, 2, 4])
 def test_conv_streaming_equals_offline(ring, dilation):
     """The golden streaming property per primitive (reference
@@ -112,7 +118,7 @@ def test_conv_streaming_equals_offline(ring, dilation):
                                atol=1e-6)
 
 
-@pytest.mark.parametrize("ring", [False, True])
+@pytest.mark.parametrize("ring", [False, True, "psum"])
 def test_tra_streaming_equals_offline(ring):
     rng = np.random.default_rng(4)
     tra = TRALite(4)
