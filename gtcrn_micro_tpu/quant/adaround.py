@@ -215,6 +215,10 @@ def adaround_optimize(
     beta_lo: float = 2.0,
     seed: int = 0,
     log_every: int = 100,
+    val_noisy: np.ndarray | None = None,
+    val_target: np.ndarray | None = None,
+    eval_every: int = 250,
+    patience: int = 4,
 ):
     """Jointly optimize weight rounding, activation scales and float
     correction terms against the end-to-end distillation objective.
@@ -226,6 +230,14 @@ def adaround_optimize(
     weight training can reach it.  ``w_anchor`` optionally L2-anchors the
     trained weights to the checkpoint values (guards the tiny distill
     corpus against drift).
+
+    ``val_noisy``/``val_target`` enable early stopping (r3 verdict: the
+    rounding variables overfit small corpora): every ``eval_every`` steps
+    the HARD-rounded model (the deployable artifact, not the soft
+    relaxation) is scored on the val split, the best-scoring variables are
+    kept, and the loop stops after ``patience`` evals without improvement.
+    The val split must come from source material disjoint from both the
+    train clips and any reported held-out wav.
 
     Returns (baked_params, baked_act_qp): ``baked_params`` has every
     quantized weight replaced by its hard-rounded dequantized value
@@ -297,8 +309,29 @@ def adaround_optimize(
         updates, opt_state = opt.update(grads, opt_state, opt_vars)
         return optax.apply_updates(opt_vars, updates), opt_state, mse, reg
 
+    use_val = val_noisy is not None
+    if use_val:
+        val_spec = stft(jnp.asarray(val_noisy), window)
+        val_tgt = jnp.asarray(val_target)
+
+        @jax.jit
+        def val_snr_fn(opt_vars):
+            rv, av, fv, wv = opt_vars
+            ctx = Ctx()
+            # score the HARD-rounded model: the thing that actually ships
+            ctx.quant = AdaRoundQuantizer(
+                apply_avars(act_qp, av), rvars=rv, hard=True
+            )
+            out = model._forward(merge(fv, wv), val_spec, ctx)
+            wav = istft(out, window, length=val_tgt.shape[-1])
+            err = jnp.sum(jnp.square(wav - val_tgt))
+            return 10.0 * jnp.log10(
+                jnp.sum(jnp.square(val_tgt)) / jnp.maximum(err, 1e-20)
+            )
+
     rng = np.random.default_rng(seed)
     opt_vars = (rvars, avars, fvars, wvars)
+    best_vars, best_snr, since_best = opt_vars, -np.inf, 0
     warm = max(steps // 5, 1)  # beta anneal starts after a free-move phase
     for i in range(steps):
         idx = rng.choice(len(noisy), size=batch_size, replace=True)
@@ -312,6 +345,22 @@ def adaround_optimize(
         if log_every and (i + 1) % log_every == 0:
             print(f"  adaround {i + 1}/{steps}  mse {float(mse):.3e}  "
                   f"soft-frac {float(reg):.3f}  beta {beta:.1f}", flush=True)
+        if use_val and ((i + 1) % eval_every == 0 or i + 1 == steps):
+            snr = float(val_snr_fn(opt_vars))
+            mark = ""
+            if snr > best_snr:
+                best_vars, best_snr, since_best = opt_vars, snr, 0
+                mark = "  <- best"
+            else:
+                since_best += 1
+            print(f"  adaround {i + 1}/{steps}  val SNR (hard) "
+                  f"{snr:.2f} dB{mark}", flush=True)
+            if since_best >= patience:
+                print(f"  early stop: no val improvement in {patience} "
+                      f"evals (best {best_snr:.2f} dB)", flush=True)
+                break
+    if use_val:
+        opt_vars = best_vars
 
     rvars, avars, fvars, wvars = opt_vars
     # bake: hard-round every quantized weight, merge float corrections,
@@ -495,6 +544,15 @@ def main(args=None) -> None:
     )
     parser.add_argument("--train_wavs", default="noisy1,noisy2,noisy3,noisy4")
     parser.add_argument("--held_out", default="noisy5")
+    parser.add_argument("--corpus_mode", default="augmented",
+                        choices=("augmented", "examples"),
+                        help="augmented (default): n_train augmented clips "
+                             "from source wavs 1-3 + a val split from wav 4 "
+                             "for early stopping (r4; the held-out wav "
+                             "stays out of ALL selection); examples: the "
+                             "r3 56-segment crops of --train_wavs, no val")
+    parser.add_argument("--n_train", type=int, default=384)
+    parser.add_argument("--n_val", type=int, default=48)
     parser.add_argument("--steps", type=int, default=2500)
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--lr_v", type=float, default=2e-2)
@@ -517,6 +575,7 @@ def main(args=None) -> None:
     from gtcrn_micro_tpu.models.folding import fold_bn_params
     from gtcrn_micro_tpu.models.gtcrn_micro import GTCRNMicro
     from gtcrn_micro_tpu.quant.qat import (
+        build_augmented_corpus,
         build_distill_corpus,
         calibrate_act_qparams,
         enhance_fp32,
@@ -533,11 +592,22 @@ def main(args=None) -> None:
     ]
 
     print("building distillation corpus (fp32 targets) ...", flush=True)
-    noisy, target = build_distill_corpus(
-        model, params, train_paths, stride_seconds=2.0
-    )
-    print(f"  {len(noisy)} segments of {noisy.shape[1] / 16000:.0f} s",
-          flush=True)
+    if ns.corpus_mode == "augmented":
+        # train sources: wavs 1-3; val sources: wav 4 (early stopping);
+        # the reporting wav (--held_out, default noisy5) is in NEITHER
+        noisy, target, val_noisy, val_target = build_augmented_corpus(
+            model, params, ns.wav_dir, train_ids=(1, 2, 3), val_ids=(4,),
+            n_train=ns.n_train, n_val=ns.n_val,
+        )
+        print(f"  {len(noisy)} train + {len(val_noisy)} val augmented "
+              f"clips of {noisy.shape[1] / 16000:.0f} s", flush=True)
+    else:
+        noisy, target = build_distill_corpus(
+            model, params, train_paths, stride_seconds=2.0
+        )
+        val_noisy = val_target = None
+        print(f"  {len(noisy)} segments of {noisy.shape[1] / 16000:.0f} s",
+              flush=True)
     if ns.calib == "corpus":
         act_qp = calibrate_act_qparams(model, params, noisy, ns.act_bits)
     else:
@@ -585,6 +655,7 @@ def main(args=None) -> None:
         steps=ns.steps, batch_size=ns.batch_size,
         lr_v=ns.lr_v, lr_f=ns.lr_f, lr_w=ns.lr_w, w_anchor=ns.w_anchor,
         reg_weight=ns.reg_weight,
+        val_noisy=val_noisy, val_target=val_target,
     )
 
     after_h = quant_wav_snr(model, baked, baked_qp, held_wav, held_target)
@@ -592,6 +663,22 @@ def main(args=None) -> None:
     print(f"AdaRound+LSQ int{ns.act_bits} SNR vs fp32: "
           f"train-wav {after_s:.1f} dB, held-out {after_h:.1f} dB",
           flush=True)
+
+    def corpus_snr(p) -> float:
+        """Batched hard-quantized SNR on the proxy val split (selection
+        metric -- the reported held-out wav takes part in NO decision)."""
+        from gtcrn_micro_tpu.dsp.stft import istft, sqrt_hann_window, stft
+        from gtcrn_micro_tpu.quant.ptq import QuantizedModel
+
+        window = sqrt_hann_window(model.config.win_len)
+        spec = stft(jnp.asarray(val_noisy), window)
+        qmodel = QuantizedModel(model=model, act_qp=baked_qp)
+        enh = jax.jit(qmodel.apply)(p, spec)
+        out = np.asarray(istft(enh, window, length=val_noisy.shape[1]))
+        err = float(np.sum((out - val_target) ** 2))
+        return 10.0 * np.log10(
+            float(np.sum(val_target**2)) / max(err, 1e-20)
+        )
 
     if ns.post_bias_steps:
         refined = bias_refine(
@@ -602,12 +689,17 @@ def main(args=None) -> None:
         print(f"+bias-refine int{ns.act_bits} SNR vs fp32: "
               f"train-wav {ref_s:.1f} dB, held-out {ref_h:.1f} dB",
               flush=True)
-        # keep the better artifact by held-out score (the refine can drift)
-        if ref_h > after_h:
+        if val_noisy is not None:
+            # select on the PROXY split (r4: selecting on the reported
+            # held-out wav was leakage; it is now report-only)
+            keep = corpus_snr(refined) > corpus_snr(baked)
+        else:
+            keep = ref_h > after_h  # legacy examples mode (r3 behavior)
+        if keep:
             baked = refined
         else:
-            print("  bias-refine regressed held-out; keeping the pre-refine "
-                  "bake", flush=True)
+            print("  bias-refine regressed the selection split; keeping "
+                  "the pre-refine bake", flush=True)
 
     os.makedirs(ns.out_dir, exist_ok=True)
     from gtcrn_micro_tpu.utils.checkpoint import CheckpointManager

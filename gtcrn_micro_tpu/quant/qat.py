@@ -78,6 +78,114 @@ def build_distill_corpus(
     )
 
 
+def enhance_fp32_batch(model, params, wavs: np.ndarray,
+                       batch: int = 16) -> np.ndarray:
+    """Offline fp32 enhancement of a (N, n_samples) stack (distillation
+    targets for a whole corpus; one jit'd graph, batched)."""
+    window = sqrt_hann_window(model.config.win_len)
+    outs = []
+    for i in range(0, len(wavs), batch):
+        chunk = jnp.asarray(wavs[i : i + batch], jnp.float32)
+        enh = model.apply_jit(params, stft(chunk, window))
+        outs.append(np.asarray(istft(enh, window, length=wavs.shape[1])))
+    return np.concatenate(outs)
+
+
+def _pink_noise(rng, n: int) -> np.ndarray:
+    """1/f-amplitude noise via spectral shaping of white noise."""
+    spec = np.fft.rfft(rng.standard_normal(n))
+    f = np.fft.rfftfreq(n)
+    spec /= np.sqrt(np.maximum(f, f[1]))
+    x = np.fft.irfft(spec, n)
+    return (x / (np.std(x) + 1e-12)).astype(np.float32)
+
+
+def _mix_at_snr(rng, speech: np.ndarray, noise: np.ndarray,
+                snr_db_lo: float, snr_db_hi: float) -> np.ndarray:
+    snr = rng.uniform(snr_db_lo, snr_db_hi)
+    p_s = np.mean(speech**2) + 1e-12
+    p_n = np.mean(noise**2) + 1e-12
+    return speech + noise * np.sqrt(p_s / p_n / 10 ** (snr / 10))
+
+
+def build_augmented_corpus(
+    model, params, wav_dir: str,
+    train_ids=(1, 2, 3), val_ids=(4,),
+    n_train: int = 384, n_val: int = 48,
+    segment_seconds: float = 4.0, fs: int = 16000, seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(noisy_tr, target_tr, noisy_val, target_val): an AUGMENTED
+    distillation corpus from the reference example wavs.
+
+    r3 verdict: AdaRound's rounding variables overfit a 56-segment corpus
+    (31.8 dB train vs 18.0 dB held-out).  Distillation targets are the fp32
+    model's own outputs, so ANY input distribution is legal training
+    material -- the corpus scales by augmentation, no external data needed:
+
+    - raw crops of the noisy wavs (the serving distribution)
+    - enh crops (clean-speech proxies) + white/pink noise at SNR U[-5,20]
+    - enh crops + crops of a DIFFERENT wav as interfering "babble", U[0,15]
+    - gain-scaled noisy crops, U[0.25, 2] (exercises the activation grid)
+    - synthetic tone mixtures + white noise (the smoke-data recipe)
+
+    The val split draws from SOURCE WAVS disjoint from the train ids (and
+    from the final reporting wav, noisy5) so early stopping measures
+    generalization, not memorization."""
+    seg = int(segment_seconds * fs)
+    rng = np.random.default_rng(seed)
+
+    def load(name):
+        w, wav_fs = read_wav(os.path.join(wav_dir, f"{name}.wav"))
+        if w.ndim > 1:
+            w = w[:, 0]
+        assert wav_fs == fs
+        return w.astype(np.float32)
+
+    def crop(w):
+        if len(w) < seg:
+            w = np.tile(w, seg // len(w) + 1)
+        s = rng.integers(0, len(w) - seg + 1)
+        return w[s : s + seg]
+
+    def clips_for(ids, count):
+        noisy_src = [load(f"noisy{i}") for i in ids]
+        enh_src = [load(f"enh{i}") for i in ids]
+        clips = []
+        for _ in range(count):
+            r = rng.random()
+            k = rng.integers(len(ids))
+            if r < 0.25:  # raw serving-distribution crop
+                clips.append(crop(noisy_src[k]))
+            elif r < 0.50:  # clean proxy + stationary noise
+                noise = (_pink_noise(rng, seg) if rng.random() < 0.5
+                         else rng.standard_normal(seg).astype(np.float32))
+                clips.append(_mix_at_snr(rng, crop(enh_src[k]), noise,
+                                         -5.0, 20.0))
+            elif r < 0.70:  # clean proxy + other-wav interference
+                j = (k + 1 + rng.integers(max(len(ids) - 1, 1))) % len(ids)
+                clips.append(_mix_at_snr(rng, crop(enh_src[k]),
+                                         crop(noisy_src[j]), 0.0, 15.0))
+            elif r < 0.85:  # gain sweep over the serving distribution
+                clips.append(crop(noisy_src[k]) * rng.uniform(0.25, 2.0))
+            else:  # synthetic tone mixture (make_smoke_data recipe)
+                t = np.arange(seg) / fs
+                clean = sum(
+                    a * np.sin(2 * np.pi * f * t)
+                    for a, f in zip(rng.uniform(0.05, 0.2, 3),
+                                    rng.uniform(100, 2000, 3))
+                ).astype(np.float32)
+                noise = rng.standard_normal(seg).astype(np.float32)
+                clips.append(_mix_at_snr(rng, clean, noise, 0.0, 10.0))
+        return np.stack(clips).astype(np.float32)
+
+    noisy_tr = clips_for(train_ids, n_train)
+    noisy_val = clips_for(val_ids, n_val)
+    return (
+        noisy_tr, enhance_fp32_batch(model, params, noisy_tr),
+        noisy_val, enhance_fp32_batch(model, params, noisy_val),
+    )
+
+
 def calibrate_act_qparams(
     model, params, noisy: np.ndarray, act_bits: int = 8,
     percentile: float = 99.99,
