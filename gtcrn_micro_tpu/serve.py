@@ -87,7 +87,7 @@ class CohortServer:
 
     def __init__(self, model, params, batch: int, n_cohorts: int,
                  dtype=jnp.bfloat16, mode: str = "spec", dft: str = "mxu",
-                 mesh=None):
+                 mesh=None, state_opts: dict | None = None):
         """``mesh``: a ``jax.sharding.Mesh`` scales the same schedule across
         chips -- every cohort's ``batch`` streams (and its DSP state) are
         sharded along the mesh's data axis, params replicated, so one
@@ -95,7 +95,12 @@ class CohortServer:
         with no steady-state collectives (the per-stream pipeline is
         embarrassingly parallel; parallel/mesh.py).  Per-chip capacity
         planning is unchanged: pick (batch_per_chip, K) with
-        :func:`plan_cohorts`, then ``batch = batch_per_chip * n_chips``."""
+        :func:`plan_cohorts`, then ``batch = batch_per_chip * n_chips``.
+
+        ``state_opts`` forwards to ``model.init_state`` (e.g.
+        ``{"l2_psum": True}`` for the partial-sum L==2 cache layout,
+        PERF.md r4); the step infers the layout from the state itself,
+        so every serving mode works unchanged."""
         if mode not in ("spec", "audio"):
             raise ValueError(f"mode must be 'spec' or 'audio', got {mode!r}")
         self.model = model
@@ -151,7 +156,8 @@ class CohortServer:
                 for _ in range(n_cohorts)
             ]
         self._states = [
-            place_state(model.init_state(batch, dtype=dtype))
+            place_state(model.init_state(batch, dtype=dtype,
+                                         **(state_opts or {})))
             for _ in range(n_cohorts)
         ]
         self._frames = [0] * n_cohorts

@@ -91,6 +91,22 @@ def test_all_champions_miss_walks_down(monkeypatch, capsys):
     assert payload["value"] == 7 * 9216
 
 
+def test_psum_stretch_wins_one_more_cohort(monkeypatch, capsys):
+    """Phase 2b: when the ring layout misses K+1 but the ~2%-faster psum
+    layout sustains it (PERF.md r4), the headline takes the psum plan."""
+    def fake_rr(model, params, b, k, **kw):
+        return 0.00158 if kw.get("l2_psum") else 0.00165  # psum: K=10 fits
+
+    monkeypatch.setattr(bench, "measure_round_robin", fake_rr)
+    monkeypatch.setattr(
+        bench, "measure_step_latency", lambda *a, **k: (0.0190, 0.0185, 0.0199)
+    )
+    bench.main()
+    payload, lines = _last_json(capsys)
+    assert payload["value"] == 10 * 8192
+    assert any("l2_psum" in ln and "best-so-far" in ln for ln in lines)
+
+
 def test_deadline_cuts_sweep_but_emits(monkeypatch, capsys):
     """Budget exhausted right after the champion verify: no sweep, no K+1,
     but the champion headline is still emitted."""

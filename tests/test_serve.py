@@ -122,6 +122,28 @@ def test_slot_churn_second_stream_independent_of_first():
     assert first in srv2._free[0] and first not in srv2._recycled[0]
 
 
+def test_psum_state_cohort_matches_offline():
+    """CohortServer(state_opts={'l2_psum': True}) -- the bench phase-2b
+    stretch layout -- must serve exactly like the offline pass."""
+    model = GTCRNMicro()
+    params = model.init(jax.random.PRNGKey(0))
+    srv = CohortServer(model, params, batch=2, n_cohorts=1,
+                       dtype=jnp.float32, state_opts={"l2_psum": True})
+    assert any(k.endswith("psum_a") for k in srv._states[0])
+    rng = np.random.default_rng(5)
+    T = 5
+    spec = rng.standard_normal((2, 257, T, 2)).astype(np.float32) * 0.4
+    outs = [np.asarray(srv.step(0, jnp.asarray(spec[:, :, t : t + 1])))
+            for t in range(T)]
+    offline = np.asarray(model.apply_jit(params, jnp.asarray(spec)))
+    np.testing.assert_allclose(np.concatenate(outs, axis=2), offline,
+                               atol=1e-5)
+    # slot lifecycle works on the psum state tree too
+    slot = srv.admit(0)
+    srv.release(0, slot)
+    srv.reset_slot(0, slot)
+
+
 def test_audio_mode_matches_offline_pipeline():
     from gtcrn_micro_tpu.dsp import istft, sqrt_hann_window, stft
 
