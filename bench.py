@@ -117,14 +117,16 @@ def _audio_step(model, dtype, **state_opts):
 
 def measure_step_latency(model, params, batch: int, *, chain: int = 96,
                          repeats: int = 3, rtt: float = 0.0,
-                         dtype=jnp.bfloat16,
+                         dtype=jnp.bfloat16, chunk_hops: int = 1,
                          **state_opts) -> tuple[float, float, float]:
     """(median, min, max) steady-state seconds per audio streaming step at
     ``batch`` concurrent streams, over ``repeats`` chains of ``chain``
-    sequentially-dependent donated-state steps."""
+    sequentially-dependent donated-state steps.  ``chunk_hops`` > 1
+    measures the throughput-mode T-hop step (time is per STEP, i.e. per
+    T hops)."""
     step, fresh = _audio_step(model, dtype, **state_opts)
     dsp, state = fresh(batch)
-    chunk = jnp.zeros((batch, model.config.hop_len), dtype)
+    chunk = jnp.zeros((batch, model.config.hop_len * chunk_hops), dtype)
 
     out, dsp, state = step(params, dsp, state, chunk)  # compile
     _sync(out)
@@ -147,11 +149,13 @@ def measure_step_latency(model, params, batch: int, *, chain: int = 96,
 def measure_round_robin(model, params, batch: int, k: int, *,
                         rounds: int = 20, repeats: int = 3,
                         rtt: float = 0.0, dtype=jnp.bfloat16,
-                        **state_opts) -> float:
+                        chunk_hops: int = 1, **state_opts) -> float:
     """Median seconds per cohort step when K independent states are stepped
-    round-robin (the actual serving schedule, not a single-chain proxy)."""
+    round-robin (the actual serving schedule, not a single-chain proxy).
+    ``chunk_hops`` > 1: throughput-mode T-hop steps (keep-up bound is then
+    ``k * step <= T * 16 ms``; scripts/throughput_mode.py)."""
     step, fresh = _audio_step(model, dtype, **state_opts)
-    chunk = jnp.zeros((batch, model.config.hop_len), dtype)
+    chunk = jnp.zeros((batch, model.config.hop_len * chunk_hops), dtype)
     states = [fresh(batch) for _ in range(k)]
     for i in range(k):
         out, dsp_i, st_i = step(params, *states[i], chunk)

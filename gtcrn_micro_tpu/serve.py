@@ -36,25 +36,43 @@ LATENCY_BUDGET_S = 0.010
 
 @dataclasses.dataclass
 class CohortPlan:
-    """A validated (batch, n_cohorts) serving plan."""
+    """A validated (batch, n_cohorts) serving plan.
+
+    ``chunk_hops`` (T) > 1 is *throughput mode*: each step consumes T hops
+    (a ``256*T``-sample chunk) per stream, so a cohort is stepped once per
+    ``T * 16 ms`` interval.  Buffering T hops before stepping adds
+    ``(T-1) * 16 ms`` to end-to-end latency -- throughput plans trade the
+    10 ms interactive budget for more streams per chip (PERF.md r3/r4:
+    chunking amortizes per-op dispatch, worth ~10-20% at large batch).
+    """
 
     batch: int
     n_cohorts: int
     step_time_s: float
+    chunk_hops: int = 1
 
     @property
     def streams(self) -> int:
         return self.batch * self.n_cohorts
 
     @property
+    def interval_s(self) -> float:
+        """Wall-clock between two steps of the same cohort."""
+        return self.chunk_hops * FRAME_S
+
+    @property
     def keep_up_ok(self) -> bool:
-        return self.n_cohorts * self.step_time_s <= FRAME_S
+        return self.n_cohorts * self.step_time_s <= self.interval_s
 
     @property
     def worst_latency_s(self) -> float:
+        """Arrival of a hop -> its enhanced samples: chunk buffering
+        (first hop of a chunk waits for the rest), worst-case phase offset
+        to the cohort's slot, then the step itself."""
         if self.n_cohorts == 0:
             return float("inf")
-        return self.step_time_s + FRAME_S / self.n_cohorts
+        return ((self.chunk_hops - 1) * FRAME_S
+                + self.interval_s / self.n_cohorts + self.step_time_s)
 
     @property
     def realtime_ok(self) -> bool:
@@ -62,18 +80,23 @@ class CohortPlan:
 
     def phase_of(self, cohort: int) -> float:
         """Start offset (seconds) of a cohort's step inside each interval."""
-        return (cohort % self.n_cohorts) * FRAME_S / self.n_cohorts
+        return (cohort % self.n_cohorts) * self.interval_s / self.n_cohorts
 
 
 def plan_cohorts(step_time_s: float, batch: int,
-                 budget_s: float = LATENCY_BUDGET_S) -> CohortPlan:
-    """Largest real-time plan for a measured per-step time."""
+                 budget_s: float = LATENCY_BUDGET_S,
+                 chunk_hops: int = 1) -> CohortPlan:
+    """Largest keep-up plan within a latency budget for a measured per-step
+    time.  ``chunk_hops`` > 1 plans throughput mode (see CohortPlan); pass
+    the correspondingly relaxed ``budget_s``."""
     k = 0
     for cand in range(1, 65):
-        if (cand * step_time_s <= FRAME_S
-                and step_time_s + FRAME_S / cand <= budget_s):
+        plan = CohortPlan(batch=batch, n_cohorts=cand,
+                          step_time_s=step_time_s, chunk_hops=chunk_hops)
+        if plan.keep_up_ok and plan.worst_latency_s <= budget_s:
             k = cand
-    return CohortPlan(batch=batch, n_cohorts=k, step_time_s=step_time_s)
+    return CohortPlan(batch=batch, n_cohorts=k, step_time_s=step_time_s,
+                      chunk_hops=chunk_hops)
 
 
 class CohortServer:
@@ -87,7 +110,8 @@ class CohortServer:
 
     def __init__(self, model, params, batch: int, n_cohorts: int,
                  dtype=jnp.bfloat16, mode: str = "spec", dft: str = "mxu",
-                 mesh=None, state_opts: dict | None = None):
+                 mesh=None, state_opts: dict | None = None,
+                 chunk_hops: int = 1):
         """``mesh``: a ``jax.sharding.Mesh`` scales the same schedule across
         chips -- every cohort's ``batch`` streams (and its DSP state) are
         sharded along the mesh's data axis, params replicated, so one
@@ -100,15 +124,27 @@ class CohortServer:
         ``state_opts`` forwards to ``model.init_state`` (e.g.
         ``{"l2_psum": True}`` for the partial-sum L==2 cache layout,
         PERF.md r4); the step infers the layout from the state itself,
-        so every serving mode works unchanged."""
+        so every serving mode works unchanged.
+
+        ``chunk_hops`` (T): throughput mode -- each ``step`` call consumes
+        T hops per stream ((batch, 256*T) samples in audio mode, (batch,
+        F, T, 2) spectra in spec mode) and the cohort is stepped once per
+        ``T * 16 ms`` interval.  The ring state layout is T-independent
+        (nn/core.py T-chunk slab reads/writes), so T is purely a schedule
+        choice; it must be a power of two <= 16 (the ring alignment
+        contract).  See :class:`CohortPlan` for the latency trade."""
         if mode not in ("spec", "audio"):
             raise ValueError(f"mode must be 'spec' or 'audio', got {mode!r}")
+        if chunk_hops not in (1, 2, 4, 8, 16):
+            raise ValueError(
+                f"chunk_hops must be a power of two <= 16, got {chunk_hops}")
         self.model = model
         self.batch = batch
         self.n_cohorts = n_cohorts
         self.dtype = dtype
         self.mode = mode
         self.mesh = mesh
+        self.chunk_hops = chunk_hops
         self.params = jax.tree.map(lambda v: v.astype(dtype), params)
         place_state = place_dsp = place_chunk = lambda x: x  # noqa: E731
         if mesh is not None and mode == "audio":
@@ -224,12 +260,12 @@ class CohortServer:
     # -- serving -----------------------------------------------------------
 
     def step(self, cohort: int, frame: jax.Array) -> jax.Array:
-        """Advance ``cohort`` one frame.
+        """Advance ``cohort`` by ``chunk_hops`` frames.
 
-        mode "spec":  frame is (batch, F, 1, 2) spectra -> enhanced spectra.
-        mode "audio": frame is (batch, hop_len) samples -> enhanced samples
-        one hop behind (dsp/stream_dsp.py latency contract; the first
-        emitted chunk per stream is the discarded center-trim region).
+        mode "spec":  frame is (batch, F, T, 2) spectra -> enhanced spectra.
+        mode "audio": frame is (batch, T*hop_len) samples -> enhanced
+        samples one hop behind (dsp/stream_dsp.py latency contract; the
+        first emitted hop per stream is the discarded center-trim region).
         """
         frame = self._place_chunk(frame.astype(self.dtype))
         if self.mode == "audio":
@@ -240,7 +276,7 @@ class CohortServer:
             out, self._states[cohort] = self._step(
                 self.params, self._states[cohort], frame
             )
-        self._frames[cohort] += 1
+        self._frames[cohort] += self.chunk_hops
         return out
 
     def round_robin(self, specs: list[jax.Array]) -> list[jax.Array]:

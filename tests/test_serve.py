@@ -2,6 +2,7 @@
 and output correctness (each cohort's stream equals the offline pass)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -172,6 +173,55 @@ def test_audio_mode_matches_offline_pipeline():
                                length=x.shape[2]))
         y = np.concatenate(outs[c], axis=-1)[:, 256:]  # drop center trim
         np.testing.assert_allclose(y, off[:, : y.shape[1]], atol=5e-7)
+
+
+def test_throughput_mode_t2_audio_matches_offline():
+    """chunk_hops=2 (throughput mode): each step consumes two hops per
+    stream; the served audio must still equal the offline pipeline."""
+    from gtcrn_micro_tpu.dsp import istft, sqrt_hann_window, stft
+
+    model = GTCRNMicro()
+    params = model.init(jax.random.PRNGKey(0))
+    srv = CohortServer(model, params, batch=2, n_cohorts=1,
+                       dtype=jnp.float32, mode="audio", dft="fft",
+                       chunk_hops=2)
+
+    rng = np.random.default_rng(3)
+    hops = 12
+    x = rng.standard_normal((2, 256 * hops)).astype(np.float32) * 0.3
+    x[:, :257] = 0.0  # exact-equality regime (stream_dsp analysis)
+
+    outs = []
+    for t in range(hops // 2):
+        got = srv.step(0, jnp.asarray(x[:, 512 * t : 512 * (t + 1)]))
+        outs.append(np.asarray(got))
+    assert srv.frames_served == hops
+
+    w = sqrt_hann_window(512)
+    spec = stft(jnp.asarray(x), w)
+    off = np.asarray(istft(model.apply_jit(params, spec), w,
+                           length=x.shape[1]))
+    y = np.concatenate(outs, axis=-1)[:, 256:]  # drop center trim
+    np.testing.assert_allclose(y, off[:, : y.shape[1]], atol=5e-7)
+
+
+def test_throughput_plan_math():
+    from gtcrn_micro_tpu.serve import CohortPlan, plan_cohorts
+
+    # T=2, 3 ms step: keep-up K <= 32/3 -> 10; latency 16 + 32/K + 3
+    plan = plan_cohorts(0.003, batch=12288, budget_s=0.040, chunk_hops=2)
+    assert plan.n_cohorts == 10 and plan.interval_s == 0.032
+    assert plan.worst_latency_s == pytest.approx(0.016 + 0.0032 + 0.003)
+    assert not plan.realtime_ok  # violates the 10 ms interactive budget
+    # the same step time in interactive mode plans fewer cohorts
+    # (keep-up K*3 <= 16 -> K=5) and half the streams of the T=2 plan
+    assert plan_cohorts(0.003, batch=12288).n_cohorts == 5
+    # T=1 unchanged vs the original contract
+    p1 = CohortPlan(batch=8192, n_cohorts=9, step_time_s=0.00165)
+    assert p1.keep_up_ok and p1.realtime_ok
+
+    with pytest.raises(ValueError):
+        CohortServer(GTCRNMicro(), {}, batch=1, n_cohorts=1, chunk_hops=3)
 
 
 def test_audio_mode_reset_zeroes_dsp_state():
