@@ -40,16 +40,21 @@ class RangeObserver:
     resolution for the bulk of the distribution.
     """
 
-    def __init__(self, percentile: float = 99.99):
+    def __init__(self, percentile: float = 99.99, per_channel: bool = False):
         self.percentile = percentile
+        self.per_channel = per_channel
         self.ranges: dict[str, tuple[jax.Array, jax.Array]] = {}
 
     def act(self, ctx: Ctx, leaf: str, x):
         path = ctx.path(leaf)
         p = self.percentile
+        # per_channel: one [lo, hi] per minor-axis lane (the NHWC channel
+        # axis at conv boundaries) -- scales stay a vector broadcast over
+        # the leading axes, so fake_quant needs no changes
+        axis = tuple(range(x.ndim - 1)) if self.per_channel else None
         self.ranges[path] = (
-            jnp.percentile(x, 100.0 - p),
-            jnp.percentile(x, p),
+            jnp.percentile(x, 100.0 - p, axis=axis),
+            jnp.percentile(x, p, axis=axis),
         )
         return x
 
@@ -110,41 +115,51 @@ class QuantizedModel:
 
 
 def observe_ranges(model, params, calib_specs, batch_size: int = 8,
-                   percentile: float = 99.99):
+                   percentile: float = 99.99, per_channel: bool = False):
     """Run calibration specs through the model, returning merged per-path
-    activation ranges.  ``calib_specs``: (N, F, T, 2) array."""
+    activation ranges.  ``calib_specs``: (N, F, T, 2) array.  With
+    ``per_channel`` each path's (lo, hi) are minor-axis vectors instead of
+    scalars (see RangeObserver)."""
+    import numpy as np
 
     @jax.jit
     def one_batch(spec):
         ctx = Ctx()
-        obs = RangeObserver(percentile)
+        obs = RangeObserver(percentile, per_channel)
         ctx.quant = obs
         model._forward(params, spec, ctx)
         return obs.ranges
 
-    merged: dict[str, tuple[float, float]] = {}
+    merged: dict[str, tuple] = {}
     for i in range(0, calib_specs.shape[0], batch_size):
         ranges = jax.device_get(one_batch(calib_specs[i : i + batch_size]))
         for path, (lo, hi) in ranges.items():
             if path in merged:
                 mlo, mhi = merged[path]
-                merged[path] = (min(mlo, float(lo)), max(mhi, float(hi)))
+                merged[path] = (np.minimum(mlo, lo), np.maximum(mhi, hi))
             else:
-                merged[path] = (float(lo), float(hi))
-    return merged
+                merged[path] = (lo, hi)
+    if per_channel:
+        return merged
+    return {p: (float(lo), float(hi)) for p, (lo, hi) in merged.items()}
 
 
 def make_quantized_model(model, params, calib_specs, batch_size: int = 8,
-                         percentile: float = 99.99, act_bits: int = 8):
+                         percentile: float = 99.99, act_bits: int = 8,
+                         per_channel_acts: bool = False):
     """One-shot PTQ: observe ranges, freeze qparams, return QuantizedModel.
 
     ``act_bits=8`` -> full-int8 (TFLite default mode, the reference artifact's
     format); ``act_bits=16`` -> 16x8 mode (int16 activations, int8 weights),
     which preserves the high-dynamic-range TRA-gate/decoder activations.
+    ``per_channel_acts``: minor-axis activation scales (beyond TFLite --
+    scripts/act_grid_perchannel.py measures what this buys).
     """
-    ranges = observe_ranges(model, params, calib_specs, batch_size, percentile)
+    ranges = observe_ranges(model, params, calib_specs, batch_size,
+                            percentile, per_channel=per_channel_acts)
     act_qp = {
-        path: act_qparams(jnp.float32(lo), jnp.float32(hi), act_bits)
+        path: act_qparams(jnp.asarray(lo, jnp.float32),
+                          jnp.asarray(hi, jnp.float32), act_bits)
         for path, (lo, hi) in ranges.items()
     }
     return QuantizedModel(model=model, act_qp=act_qp)
