@@ -104,9 +104,10 @@ def main(args=None) -> None:
                 "# NOTE: PESQ/STOI are from-spec implementations "
                 "(eval/pesq.py, eval/metrics.py), ladder-calibrated, not "
                 "the ITU/pystoi binaries (EVAL.md 'metric provenance').\n"
-                "# NOTE: PESQ time alignment estimates ONE global delay -- "
-                "exact for this framework's sample-aligned outputs; wav "
-                "pairs with drifting delay will be mis-scored.\n"
+                "# NOTE: PESQ time alignment = global delay + per-utterance "
+                "residual (piecewise-constant); delay drift WITHIN an "
+                "utterance (e.g. clock skew) is not tracked and such pairs "
+                "will be mis-scored.\n"
             )
         print(f"Overall results have been written in "
               f"{os.path.join(ns.output_dir, 'RESULTS.txt')}", flush=True)

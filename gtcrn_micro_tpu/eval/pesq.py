@@ -44,10 +44,15 @@ consulted):
 
 Caveat on time alignment: the ITU code tracks per-utterance variable delay
 (crude envelope + fine spectral alignment, utterance splitting).  This
-implementation estimates ONE global delay (envelope cross-correlation
-refined by waveform cross-correlation), which is exact for this
-framework's use (enhancement output is sample-aligned with its input) and
-a documented simplification for material with drifting delay.
+implementation estimates one global delay, then (r4) refines a
+PIECEWISE-CONSTANT per-utterance residual delay by local
+cross-correlation (``_refine_utterance_delays``) -- so spliced or
+stepped-delay material is scored correctly, not just sample-aligned
+pairs.  Remaining simplification: delay DRIFT *within* one utterance
+(e.g. resampling-rate skew) is not tracked; such material still scores
+low.  The refinement is inert by construction on sample-aligned pairs
+(shifts below 8 samples, or not clearly beating lag 0, are rejected),
+which the frozen goldens pin.
 """
 
 from __future__ import annotations
@@ -156,6 +161,110 @@ def _estimate_delay(ref: np.ndarray, deg: np.ndarray,
     return int(np.argmax(neg)) - max_lag
 
 
+def _utterance_bounds(x: np.ndarray, fs: int = FS,
+                      min_gap_s: float = 0.20,
+                      min_utt_s: float = 0.30) -> list[tuple[int, int]]:
+    """Active-speech utterance intervals [(start, end) samples) of ``x``.
+
+    Activity = 16 ms RMS above 1/30 of the signal's active level (its
+    p95 RMS); pauses shorter than ``min_gap_s`` are bridged, utterances
+    shorter than ``min_utt_s`` merged forward.  This is the coarse
+    utterance split P.862 uses to track VARIABLE delay (its §10.2
+    utterance segmentation), not a VAD of record."""
+    hop = fs // 62  # ~16 ms
+    n = len(x) // hop
+    if n == 0:
+        return [(0, len(x))] if len(x) else []
+    rms = np.sqrt(np.mean(x[: n * hop].reshape(n, hop) ** 2, axis=1))
+    lvl = np.percentile(rms[rms > 0], 95) if (rms > 0).any() else 0.0
+    if lvl <= 0:
+        return [(0, len(x))]
+    act = rms > lvl / 30.0
+    # bridge short pauses
+    gap = int(min_gap_s * fs / hop)
+    bounds: list[tuple[int, int]] = []
+    start = None
+    silence = 0
+    for i, a in enumerate(act):
+        if a:
+            if start is None:
+                start = i
+            silence = 0
+        elif start is not None:
+            silence += 1
+            if silence > gap:
+                bounds.append((start, i - silence + 1))
+                start, silence = None, 0
+    if start is not None:
+        bounds.append((start, n))
+    # merge too-short utterances into their successor
+    merged: list[tuple[int, int]] = []
+    for s, e in bounds:
+        if merged and (e - s) * hop < min_utt_s * fs:
+            merged[-1] = (merged[-1][0], e)
+        elif merged and (s - merged[-1][1]) * hop < min_gap_s * fs:
+            merged[-1] = (merged[-1][0], e)
+        else:
+            merged.append((s, e))
+    if not merged:
+        return [(0, len(x))]
+    return [(s * hop, min(e * hop, len(x))) for s, e in merged]
+
+
+def _refine_utterance_delays(ref: np.ndarray, deg: np.ndarray,
+                             max_lag: int = FS // 8,
+                             min_shift: int = 8,
+                             min_gain: float = 1.05) -> np.ndarray:
+    """Per-utterance residual-delay realignment of ``deg`` vs ``ref``
+    (both already globally aligned, equal length).
+
+    P.862 tracks variable delay per utterance; this is the piecewise-
+    constant form of that: each utterance's residual lag is estimated by
+    local cross-correlation (+/- ``max_lag`` = 125 ms) and its degraded
+    segment shifted accordingly.  A shift is only accepted when it is
+    non-trivial (|lag| >= ``min_shift`` samples) AND its correlation peak
+    beats lag 0 by ``min_gain`` -- so sample-aligned material (this
+    framework's own outputs) passes through bit-identically and the
+    frozen goldens pin that.  Within-utterance drift remains out of
+    scope (documented limitation)."""
+    out = deg.copy()
+    n = len(ref)
+    for s, e in _utterance_bounds(ref):
+        e = min(e, n)
+        if e - s < 2 * min_shift:
+            continue
+        r = ref[s:e]
+        lo, hi = max(0, s - max_lag), min(n, e + max_lag)
+        # pad so d spans the FULL virtual window [s-max_lag, e+max_lag) --
+        # without this, an utterance ending near the signal edge cannot be
+        # searched at positive lags at all (out-of-range deg is silence)
+        d = np.concatenate([
+            np.zeros(max_lag - (s - lo)), deg[lo:hi],
+            np.zeros(max_lag - (hi - e)),
+        ])
+        m = 1 << int(np.ceil(np.log2(len(d) + len(r))))
+        c = np.fft.irfft(np.conj(np.fft.rfft(r, m)) * np.fft.rfft(d, m), m)
+        # c[k] = sum_i r[i] * d[i+k] (zero-padded); d[j] is the virtual
+        # deg[s - max_lag + j], so shift k maps to lag k - max_lag
+        vals = c[: 2 * max_lag + 1]
+        lags = np.arange(-max_lag, max_lag + 1)
+        zero_idx = np.where(lags == 0)[0]
+        zero_val = vals[zero_idx[0]] if len(zero_idx) else -np.inf
+        best = int(np.argmax(vals))
+        lag = int(lags[best])
+        if abs(lag) < min_shift:
+            continue
+        if zero_val > 0 and vals[best] < min_gain * zero_val:
+            continue
+        src_lo, src_hi = s + lag, e + lag
+        seg = np.zeros(e - s)
+        a, b = max(0, src_lo), min(n, src_hi)
+        if b > a:
+            seg[a - src_lo : (a - src_lo) + (b - a)] = deg[a:b]
+        out[s:e] = seg
+    return out
+
+
 def _frames_power(x: np.ndarray) -> np.ndarray:
     """(n_frames, n_bins) FFT power spectra of 50%-overlapped Hann frames."""
     n_fr = (len(x) - FRAME) // HOP + 1
@@ -200,8 +309,15 @@ def _audible_power(bands: np.ndarray, factor: float = 1.0) -> np.ndarray:
     return (audible * _WIDTH_BARK[None, :]).sum(axis=1)
 
 
-def pesq_wb(ref: np.ndarray, deg: np.ndarray, fs: int = FS) -> float:
-    """Wideband PESQ MOS-LQO of ``deg`` against clean ``ref`` (16 kHz)."""
+def pesq_wb(ref: np.ndarray, deg: np.ndarray, fs: int = FS,
+            utterance_align: bool = True) -> float:
+    """Wideband PESQ MOS-LQO of ``deg`` against clean ``ref`` (16 kHz).
+
+    ``utterance_align``: after the global delay, refine a piecewise-
+    constant per-utterance residual delay (P.862's variable-delay
+    tracking, in its constant-per-utterance form).  Inert on sample-
+    aligned pairs (this framework's own outputs) by construction --
+    see ``_refine_utterance_delays``."""
     if fs != FS:
         raise ValueError(f"wideband PESQ is 16 kHz only, got fs={fs}")
     ref = np.asarray(ref, np.float64)
@@ -219,6 +335,8 @@ def pesq_wb(ref: np.ndarray, deg: np.ndarray, fs: int = FS) -> float:
         ref = ref[-delay:]
     n = min(len(ref), len(deg))
     ref, deg = ref[:n], deg[:n]
+    if utterance_align and n:
+        deg = _refine_utterance_delays(ref, deg)
 
     pr = _pitch_power_density(ref)
     pd = _pitch_power_density(deg)

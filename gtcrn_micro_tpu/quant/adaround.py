@@ -136,7 +136,11 @@ class AdaRoundQuantizer:
         if qp is None:
             raise KeyError(f"no activation qparams for {path}")
         if self.collecting:
-            self.avars.setdefault(path, jnp.zeros((), jnp.float32))
+            # one log-scale delta per scale entry: scalar for per-tensor
+            # qparams, per-lane for per-channel grids (r4b) -- LSQ then
+            # learns each lane's scale independently
+            self.avars.setdefault(
+                path, jnp.zeros(jnp.shape(qp.scale), jnp.float32))
             return fake_quant(x, qp)
         delta = self.avars.get(path)
         if delta is None:
@@ -565,10 +569,17 @@ def main(args=None) -> None:
     parser.add_argument("--reg_weight", type=float, default=2e-3)
     parser.add_argument("--post_bias_steps", type=int, default=400)
     parser.add_argument("--act_bits", type=int, default=8, choices=(8, 16))
+    parser.add_argument("--per_channel_acts", action="store_true",
+                        help="minor-axis activation scales (r4b: moves the "
+                             "a8 held-out wall ~17 -> ~21 dB and lifts 16x8 "
+                             "to 29.7 dB untrained; EVAL.md). LSQ learns "
+                             "per-lane deltas. Requires --calib deploy")
     parser.add_argument("--calib", default="deploy",
                         choices=("deploy", "corpus"))
     parser.add_argument("--out_dir", default="/tmp/gtcrn_adaround")
     ns = parser.parse_args(args)
+    if ns.per_channel_acts and ns.calib != "deploy":
+        parser.error("--per_channel_acts requires --calib deploy")
 
     from gtcrn_micro_tpu.eval.infer import load_params
     from gtcrn_micro_tpu.io.wav import read_wav
@@ -630,9 +641,11 @@ def main(args=None) -> None:
                 os.symlink(os.path.join(ns.wav_dir, f),
                            os.path.join(calib_dir, f))
         calib = jnp.asarray(calibration_specs(calib_dir, n_wavs=32))
-        ranges = observe_ranges(model, params, calib, batch_size=4)
+        ranges = observe_ranges(model, params, calib, batch_size=4,
+                                per_channel=ns.per_channel_acts)
         act_qp = {
-            p: act_qparams(jnp.float32(lo), jnp.float32(hi), ns.act_bits)
+            p: act_qparams(jnp.asarray(lo, jnp.float32),
+                           jnp.asarray(hi, jnp.float32), ns.act_bits)
             for p, (lo, hi) in ranges.items()
         }
 
@@ -728,7 +741,7 @@ def load_act_qp(path: str) -> dict:
     paths = sorted({k.rsplit(":", 1)[0] for k in data.files})
     return {
         p: QParams(
-            scale=jnp.float32(data[f"{p}:scale"]),
+            scale=jnp.asarray(data[f"{p}:scale"], jnp.float32),
             zero=jnp.asarray(data[f"{p}:zero"]),
             qmin=int(data[f"{p}:qminmax"][0]),
             qmax=int(data[f"{p}:qminmax"][1]),

@@ -51,6 +51,41 @@ def test_delay_invariance():
     assert abs(pesq_wb(x, y) - MAX_WB) < 5e-2
 
 
+def test_utterance_align_inert_on_aligned_pairs():
+    """The per-utterance refinement must not move scores of sample-aligned
+    pairs (the frozen goldens' regime): shifts below the accept gate are
+    rejected, so both paths are identical."""
+    x = _speech()
+    y = x + 0.05 * np.random.default_rng(1).standard_normal(len(x))
+    assert pesq_wb(x, y) == pesq_wb(x, y, utterance_align=False)
+
+
+def test_stepped_delay_scored_via_utterance_alignment():
+    """A splice (the second half of the degraded signal shifted by 30 ms)
+    must score close to the unspliced signal with utterance alignment, and
+    far worse with only the global delay (the r3-verdict mis-scoring
+    case)."""
+    from gtcrn_micro_tpu.eval.pesq import _utterance_bounds
+
+    x = _speech()
+    rng = np.random.default_rng(2)
+    y = x + 0.001 * rng.standard_normal(len(x))
+    base = pesq_wb(x, y)
+
+    # splice inside a silence gap between utterances: delay everything
+    # after the first utterance boundary by 30 ms
+    bounds = _utterance_bounds(x)
+    assert len(bounds) >= 2, "fixture should contain multiple utterances"
+    cut = (bounds[0][1] + bounds[1][0]) // 2
+    shift = 480  # 30 ms
+    spliced = np.concatenate([y[:cut], np.zeros(shift), y[cut:]])[: len(y)]
+
+    aligned = pesq_wb(x, spliced)
+    global_only = pesq_wb(x, spliced, utterance_align=False)
+    assert aligned >= base - 0.25
+    assert aligned >= global_only + 0.3
+
+
 def test_monotone_in_noise_and_plausible_range():
     x = _speech()
     rng = np.random.default_rng(0)
