@@ -145,9 +145,16 @@ def export_native_weights_int8(params, act_qp: dict, path: str) -> int:
 
     per_bits = [bits_of(p) for p in order]
     uniform = len(set(per_bits)) == 1
+    # per-channel act scales (r4b, observe_ranges(per_channel=True)) select
+    # the v3 layout: header act_bits=1, then per boundary
+    # (bits, n_lanes, scales[n], zeros[n]).  Consumed by the native PC
+    # engine (native/gtcrn_micro_pc.cc); v1/v2 readers reject act_bits=1
+    # loudly.
+    per_channel = any(np.size(np.asarray(qp.scale)) > 1
+                      for qp in act_qp.values())
     # header act_bits: 8/16 = uniform (v1 layout, back-compatible);
     # 0 = MIXED precision (v2 layout: per-boundary bits precede each qparam)
-    act_bits = per_bits[0] if uniform else 0
+    act_bits = 1 if per_channel else (per_bits[0] if uniform else 0)
 
     with open(path, "wb") as f:
         f.write(struct.pack("<II", MAGIC_INT8, len(tensors)))
@@ -165,9 +172,18 @@ def export_native_weights_int8(params, act_qp: dict, path: str) -> int:
         f.write(struct.pack("<II", act_bits, len(order)))
         for p, bits in zip(order, per_bits):
             qp = act_qp[p]
-            if not uniform:
-                f.write(struct.pack("<I", bits))
-            f.write(struct.pack("<fi", float(qp.scale), int(qp.zero)))
+            if per_channel:  # v3: bits, n_lanes, scales, zeros
+                s = np.atleast_1d(np.asarray(qp.scale, np.float32)).ravel()
+                z = np.broadcast_to(
+                    np.atleast_1d(np.asarray(qp.zero)).ravel(), s.shape
+                ).astype(np.int32)
+                f.write(struct.pack("<II", bits, len(s)))
+                f.write(s.astype("<f4").tobytes())
+                f.write(z.astype("<i4").tobytes())
+            else:
+                if not uniform:
+                    f.write(struct.pack("<I", bits))
+                f.write(struct.pack("<fi", float(qp.scale), int(qp.zero)))
     return len(tensors)
 
 

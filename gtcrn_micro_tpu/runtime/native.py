@@ -54,7 +54,10 @@ class NativeEngine:
     TFLM (esp32_s3/main/main.cc).  ``quant="int16"`` selects the 16x8 engine
     for an act_bits=16 artifact (int16 activations / int8 weights);
     ``quant="mixed"`` is an alias for the same engine, which also executes
-    GTM8 v2 mixed-precision artifacts (per-boundary 8/16 act bits)."""
+    GTM8 v2 mixed-precision artifacts (per-boundary 8/16 act bits).
+    ``quant="pc"`` loads a GTM8 v3 per-channel-activation artifact through
+    the PC engine (int8 weights dequantized at load, per-lane boundary
+    fake-quant, fp32 MACs -- EVAL.md r4b: 16x8 held-out +5.4 dB)."""
 
     def __init__(self, weights_path: str, lib_path: str | None = None,
                  int8: bool = False, quant: str | None = None):
@@ -62,7 +65,7 @@ class NativeEngine:
         self._lib = ctypes.CDLL(lib_path)
         quant = quant or ("int8" if int8 else None)
         p = {None: "gtm_", "int8": "gtm_q", "int16": "gtm_q16",
-             "mixed": "gtm_q16"}[quant]
+             "mixed": "gtm_q16", "pc": "gtm_pc"}[quant]
         self._fn = {
             name: getattr(self._lib, f"{p}{name}")
             for name in (

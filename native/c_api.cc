@@ -223,4 +223,71 @@ void gtm_q16step_batch(void* engine, void* states, const float* spec,
   }
 }
 
+// ---- per-channel-activation engine (GTM8 v3 artifact) ----
+// fp32 StreamState (rings hold fake-quantized floats), so the fp32 state
+// helpers are reused; fresh zero rings are already correct.
+
+void* gtm_pcengine_create(const char* weights_path) {
+  try {
+    return new gtcrn::EnginePC(weights_path);
+  } catch (...) {
+    return nullptr;
+  }
+}
+
+void gtm_pcengine_destroy(void* engine) {
+  delete static_cast<gtcrn::EnginePC*>(engine);
+}
+
+void* gtm_pcstate_create(void* /*engine*/) {
+  return new (std::nothrow) gtcrn::StreamState();
+}
+
+void gtm_pcstate_destroy(void* state) {
+  delete static_cast<gtcrn::StreamState*>(state);
+}
+
+void gtm_pcstate_reset(void* /*engine*/, void* state) {
+  static_cast<gtcrn::StreamState*>(state)->Reset();
+}
+
+void gtm_pcstep(void* engine, void* state, const float* spec, float* out) {
+  auto* e = static_cast<gtcrn::EnginePC*>(engine);
+  auto* s = static_cast<gtcrn::StreamState*>(state);
+  e->Step(*s, spec, spec + 257, out, out + 257);
+}
+
+void gtm_pcenhance(void* engine, const float* samples, int n, float* out) {
+  auto* e = static_cast<gtcrn::EnginePC*>(engine);
+  std::vector<float> in(samples, samples + n);
+  auto res = e->EnhanceWav(in);
+  std::memcpy(out, res.data(), sizeof(float) * n);
+}
+
+void* gtm_pcstate_batch_create(void* /*engine*/, int n) {
+  return new (std::nothrow) std::vector<gtcrn::StreamState>(n);
+}
+
+void gtm_pcstate_batch_destroy(void* states) {
+  delete static_cast<std::vector<gtcrn::StreamState>*>(states);
+}
+
+void gtm_pcstep_batch(void* engine, void* states, const float* spec,
+                      float* out, int n) {
+  auto* e = static_cast<gtcrn::EnginePC*>(engine);
+  auto* s = static_cast<std::vector<gtcrn::StreamState>*>(states);
+  std::vector<float> re(n * 257), im(n * 257), ore(n * 257), oim(n * 257);
+  for (int i = 0; i < n; ++i) {
+    std::memcpy(re.data() + i * 257, spec + i * 514, 257 * sizeof(float));
+    std::memcpy(im.data() + i * 257, spec + i * 514 + 257,
+                257 * sizeof(float));
+  }
+  e->StepBatch(s->data(), re.data(), im.data(), ore.data(), oim.data(), n);
+  for (int i = 0; i < n; ++i) {
+    std::memcpy(out + i * 514, ore.data() + i * 257, 257 * sizeof(float));
+    std::memcpy(out + i * 514 + 257, oim.data() + i * 257,
+                257 * sizeof(float));
+  }
+}
+
 }  // extern "C"

@@ -223,6 +223,79 @@ extern template struct StreamStateQT<int16_t>;
 extern template class EngineQT<int8_t>;
 extern template class EngineQT<int16_t>;
 
+// ---------------------------------------------------------------------------
+// Per-channel activation engine (GTM8 v3, native/gtcrn_micro_pc.cc).
+//
+// r4b finding (EVAL.md): per-tensor activation scales are the binding
+// quality constraint of the integer artifacts -- the hot boundaries spread
+// up to 26x across their 16 lanes, and per-lane scales lift held-out
+// quality 5-9 dB (16x8 mode: 24.3 -> 29.7 dB untrained).  Per-lane scales
+// on MIXING conv inputs cannot ride an integer MAC without folding, so
+// this engine trades integer compute for quality: int8 weights are
+// dequantized once at load (flash-size win retained), activations pass
+// through per-lane quantize-dequantize at each of the 59 boundaries
+// (numerics == the JAX per-channel fake-quant sim), and the MACs run
+// fp32 (on FPU hosts this is FASTER than the int engines; MCU vector
+// units keep the v1/v2 per-tensor engines).
+// ---------------------------------------------------------------------------
+
+struct ActQV {  // per-lane activation qparams: x_c ~ (q - zero[c]) * scale[c]
+  std::vector<float> scale;
+  std::vector<int32_t> zero;
+  float qlo = -128.f;
+  float qhi = 127.f;
+};
+
+struct GTConvPC {
+  Tensor pw1_w, pw1_b, dw_w, dw_b, pw2_w, pw2_b;  // dequantized at load
+  float a1, a2;
+  Tensor tra_dw, tra_db, tra_pw, tra_pb;
+  ActQV pw1_in, dw_in, pw2_in, energy, gate_in;
+};
+
+struct TcnPC {
+  Tensor pw1_w, pw1_b, dw_w, dw_b, pw3_w, pw3_b;
+  float a1, a2, a3;
+  ActQV pw1_in, dw_in, pw3_in;
+};
+
+struct ConvPC {
+  Tensor w, b;
+  float a = 0.f;
+  ActQV in;
+};
+
+struct WeightsPC {
+  Tensor bm_w, bs_w, sfe_w;
+  ActQV sfe_in;
+  ConvPC en0, en1, de3, de4;
+  std::array<GTConvPC, 3> enc;
+  std::array<GTConvPC, 3> dec;
+  std::array<TcnPC, 8> tcn;
+
+  static WeightsPC Load(const std::string& path);  // throws on error
+};
+
+// Rings hold fake-quantized FLOATS (exactly what the JAX sim's rings hold:
+// fake-quant is idempotent, nn/core.py), so fresh rings are plain zeros
+// (float 0 is exactly representable on every boundary's grid).
+class EnginePC {
+ public:
+  explicit EnginePC(const std::string& weights_path)
+      : w_(WeightsPC::Load(weights_path)) {}
+  explicit EnginePC(WeightsPC w) : w_(std::move(w)) {}
+
+  void Step(StreamState& st, const float* spec_re, const float* spec_im,
+            float* out_re, float* out_im) const;
+  void StepBatch(StreamState* states, const float* spec_re,
+                 const float* spec_im, float* out_re, float* out_im,
+                 int n) const;
+  std::vector<float> EnhanceWav(const std::vector<float>& samples) const;
+
+ private:
+  WeightsPC w_;
+};
+
 // torch-compatible sqrt-Hann STFT helpers (torch.stft center=true, reflect
 // pad; istft with synthesis-window-square normalization).
 namespace dsp {

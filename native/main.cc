@@ -147,7 +147,7 @@ int RunBench(const char* weights, int n_streams, int frames) {
 }
 
 int main(int argc, char** argv) {
-  int quant = 0;  // 0 = fp32, 8 = int8, 16 = 16x8
+  int quant = 0;  // 0 = fp32, 8 = int8, 16 = 16x8, 1 = per-channel (v3)
   bool online = false;  // true: hop-by-hop AudioStream framing (O(1) state)
   int argi = 1;
   for (; argi < argc; ++argi) {
@@ -155,6 +155,8 @@ int main(int argc, char** argv) {
       quant = 8;
     } else if (!std::strcmp(argv[argi], "--int16")) {
       quant = 16;
+    } else if (!std::strcmp(argv[argi], "--pc")) {
+      quant = 1;
     } else if (!std::strcmp(argv[argi], "--online")) {
       online = true;
     } else {
@@ -171,14 +173,18 @@ int main(int argc, char** argv) {
       return RunBench<gtcrn::EngineQ16, gtcrn::StreamStateQ16>(argv[argi + 1],
                                                                n, 200);
     }
+    if (quant == 1) {
+      return RunBench<gtcrn::EnginePC, gtcrn::StreamState>(argv[argi + 1], n,
+                                                           200);
+    }
     return RunBench<gtcrn::Engine, gtcrn::StreamState>(argv[argi + 1], n,
                                                        200);
   }
   if (argc - argi != 3) {
     std::fprintf(stderr,
-                 "usage: %s [--int8|--int16] [--online] <weights.bin> <in.wav>"
-                 " <out.wav>\n"
-                 "       %s [--int8|--int16] --bench <weights.bin> [n]\n",
+                 "usage: %s [--int8|--int16|--pc] [--online] <weights.bin>"
+                 " <in.wav> <out.wav>\n"
+                 "       %s [--int8|--int16|--pc] --bench <weights.bin> [n]\n",
                  argv[0], argv[0]);
     return 1;
   }
@@ -192,11 +198,14 @@ int main(int argc, char** argv) {
   std::unique_ptr<gtcrn::Engine> engine;
   std::unique_ptr<gtcrn::EngineQ> engine_q;
   std::unique_ptr<gtcrn::EngineQ16> engine_q16;
+  std::unique_ptr<gtcrn::EnginePC> engine_pc;
   try {
     if (quant == 8) {
       engine_q = std::make_unique<gtcrn::EngineQ>(std::string(argv[argi]));
     } else if (quant == 16) {
       engine_q16 = std::make_unique<gtcrn::EngineQ16>(std::string(argv[argi]));
+    } else if (quant == 1) {
+      engine_pc = std::make_unique<gtcrn::EnginePC>(std::string(argv[argi]));
     } else {
       engine = std::make_unique<gtcrn::Engine>(std::string(argv[argi]));
     }
@@ -226,6 +235,10 @@ int main(int argc, char** argv) {
       step = [&](const float* re, const float* im, float* ore, float* oim) {
         engine_q16->Step(st_q16, re, im, ore, oim);
       };
+    } else if (quant == 1) {
+      step = [&](const float* re, const float* im, float* ore, float* oim) {
+        engine_pc->Step(st, re, im, ore, oim);
+      };
     } else {
       step = [&](const float* re, const float* im, float* ore, float* oim) {
         engine->Step(st, re, im, ore, oim);
@@ -247,6 +260,7 @@ int main(int argc, char** argv) {
   } else {
     out = quant == 8    ? engine_q->EnhanceWav(samples)
           : quant == 16 ? engine_q16->EnhanceWav(samples)
+          : quant == 1  ? engine_pc->EnhanceWav(samples)
                         : engine->EnhanceWav(samples);
   }
   auto us = std::chrono::duration_cast<std::chrono::microseconds>(

@@ -403,3 +403,63 @@ def test_cli_rejects_corrupt_gtm8(native_int8, tmp_path):
         )
         assert res.returncode != 0, path
         assert "failed to load weights" in res.stderr, (path, res.stderr)
+
+
+def test_native_pc_matches_per_channel_sim(native):
+    """GTM8 v3 (per-channel activation scales, r4b): the PC engine must
+    reproduce the per-channel fake-quant simulation -- the artifact whose
+    measured quality is the 29.7 dB held-out 16x8 row in EVAL.md -- and
+    the per-tensor engines must reject the v3 artifact loudly (and vice
+    versa)."""
+    from gtcrn_micro_tpu.io.export_native import export_native_weights_int8
+    from gtcrn_micro_tpu.models.folding import fold_bn_params
+    from gtcrn_micro_tpu.quant.fake_quant import act_qparams
+    from gtcrn_micro_tpu.quant.ptq import QuantizedModel, observe_ranges
+    from gtcrn_micro_tpu.runtime.native import NativeEngine
+
+    model, params, wpath_fp32, _eng = native
+    folded = fold_bn_params(params)
+    rng = np.random.default_rng(11)
+    calib = jnp.asarray(
+        rng.standard_normal((4, 257, 16, 2)).astype(np.float32) * 0.3
+    )
+    ranges = observe_ranges(model, folded, calib, batch_size=4,
+                            per_channel=True)
+    act_qp = {
+        p: act_qparams(jnp.asarray(lo, jnp.float32),
+                       jnp.asarray(hi, jnp.float32), 16)
+        for p, (lo, hi) in ranges.items()
+    }
+
+    import tempfile
+
+    wpath_pc = tempfile.mktemp(suffix="_pc.bin")
+    export_native_weights_int8(folded, act_qp, wpath_pc)
+    # cross-engine rejects: v3 through the int engines, v1 through pc
+    with pytest.raises(RuntimeError):
+        NativeEngine(wpath_pc, quant="int8")
+    with pytest.raises(RuntimeError):
+        NativeEngine(wpath_pc, quant="int16")
+    with pytest.raises(RuntimeError):
+        NativeEngine(wpath_fp32, quant="pc")
+
+    eng = NativeEngine(wpath_pc, quant="pc")
+    qm = QuantizedModel(model=model, act_qp=act_qp)
+    spec = rng.standard_normal((1, 257, 20, 2)).astype(np.float32) * 0.3
+    state = qm.init_state(1)
+    errs, mags = [], []
+    for t in range(20):  # past the ring wrap
+        y_sim, state = qm.step(folded, state,
+                               jnp.asarray(spec[:, :, t : t + 1]))
+        y_nat = eng.step(spec[0, :, t, :])
+        errs.append(np.abs(np.asarray(y_sim)[0, :, 0, :] - y_nat).max())
+        mags.append(np.abs(np.asarray(y_sim)).max())
+    assert max(errs) < 5e-4 * max(max(mags), 1.0), (errs, mags)
+
+    # reset + batch API on the pc engine
+    eng.reset()
+    y2 = eng.step(spec[0, :, 0, :])
+    state2 = qm.init_state(1)
+    y_sim2, _ = qm.step(folded, state2, jnp.asarray(spec[:, :, 0:1]))
+    assert np.abs(np.asarray(y_sim2)[0, :, 0, :] - y2).max() < 5e-4
+    os.unlink(wpath_pc)
