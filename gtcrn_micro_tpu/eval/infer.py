@@ -124,6 +124,10 @@ def main(args=None) -> None:
     parser.add_argument("--quant", action="store_true")
     parser.add_argument("--calib_dir", default=None)
     parser.add_argument("--act_bits", type=int, default=8, choices=(8, 16))
+    parser.add_argument("--per_channel_acts", action="store_true",
+                        help="minor-axis activation scales (r4b: +5-9 dB "
+                             "held-out; deploys via GTM8 v3 + the native "
+                             "PC engine)")
     ns = parser.parse_args(args)
     cfg = load_config(ns.config)
 
@@ -142,8 +146,10 @@ def main(args=None) -> None:
         calib_dir = ns.calib_dir or noisy_dir
         calib = calibration_specs(calib_dir, n_wavs=32)
         model = make_quantized_model(model, params, calib,
-                                     act_bits=ns.act_bits)
-        print(f"int{ns.act_bits} PTQ model calibrated on {calib_dir}")
+                                     act_bits=ns.act_bits,
+                                     per_channel_acts=ns.per_channel_acts)
+        tag = " per-channel" if ns.per_channel_acts else ""
+        print(f"int{ns.act_bits}{tag} PTQ model calibrated on {calib_dir}")
 
     wavs = sorted(
         os.path.join(noisy_dir, f)

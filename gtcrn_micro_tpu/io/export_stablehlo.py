@@ -77,12 +77,19 @@ def main(args=None) -> None:
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--frames", type=int, default=63)
     parser.add_argument(
-        "--format", choices=["all", "stablehlo", "onnx", "native"],
+        "--format", choices=["all", "stablehlo", "onnx", "native",
+                             "native-int8"],
         default="all",
         help="stablehlo: jax.export artifacts; onnx: opset-16 offline + "
         "streaming-step graphs (io/onnx_export.py); native: C++ runtime "
-        "weights binary",
+        "weights binary (GTM1 fp32); native-int8: GTM8 quantized artifact "
+        "(requires --calib_dir; --act_bits / --per_channel_acts select the "
+        "mode -- per-channel emits the v3 layout for the native PC engine)",
     )
+    parser.add_argument("--calib_dir", default=None,
+                        help="noisy-wav dir for GTM8 activation calibration")
+    parser.add_argument("--act_bits", type=int, default=16, choices=(8, 16))
+    parser.add_argument("--per_channel_acts", action="store_true")
     ns = parser.parse_args(args)
 
     from gtcrn_micro_tpu.eval.infer import load_params
@@ -122,6 +129,40 @@ def main(args=None) -> None:
             params, os.path.join(ns.out_dir, "gtcrn_micro_weights.bin")
         )
         produced.append(f"native weights ({n} tensors)")
+
+    if ns.format == "native-int8":
+        # GTM8: BN-folded weights quantized per out-channel + calibrated
+        # activation qparams (per-tensor = v1; per-channel = v3, consumed
+        # by the native PC engine -- EVAL.md r4b)
+        if not ns.calib_dir:
+            parser.error("--format native-int8 requires --calib_dir")
+        import jax.numpy as jnp
+
+        from gtcrn_micro_tpu.io.export_native import (
+            export_native_weights_int8,
+        )
+        from gtcrn_micro_tpu.models.folding import fold_bn_params
+        from gtcrn_micro_tpu.quant.calibration import calibration_specs
+        from gtcrn_micro_tpu.quant.fake_quant import act_qparams
+        from gtcrn_micro_tpu.quant.ptq import observe_ranges
+
+        folded = fold_bn_params(params)
+        calib = jnp.asarray(calibration_specs(ns.calib_dir, n_wavs=32))
+        ranges = observe_ranges(model, folded, calib, batch_size=4,
+                                per_channel=ns.per_channel_acts)
+        act_qp = {
+            p: act_qparams(jnp.asarray(lo, jnp.float32),
+                           jnp.asarray(hi, jnp.float32), ns.act_bits)
+            for p, (lo, hi) in ranges.items()
+        }
+        name = ("gtcrn_micro_w8a%d%s.bin"
+                % (ns.act_bits, "_pc" if ns.per_channel_acts else ""))
+        n = export_native_weights_int8(
+            folded, act_qp, os.path.join(ns.out_dir, name)
+        )
+        produced.append(
+            f"GTM8 {'v3 per-channel ' if ns.per_channel_acts else ''}"
+            f"w8a{ns.act_bits} ({n} tensors, {name})")
 
     print(f"exported {'; '.join(produced)} to {ns.out_dir}")
 
