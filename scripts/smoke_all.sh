@@ -66,6 +66,13 @@ for bits, name in ((8, "w_int8.bin"), (16, "w_16x8.bin")):
 print("GTM8 artifacts ok")
 PY
 
+# one-shot calibrated GTM8 v3 export through the CLI (r4b)
+python -m gtcrn_micro_tpu.io.export_stablehlo \
+  --checkpoint "$EXP/checkpoints/best" --out_dir "$SMOKE/export" \
+  --format native-int8 --calib_dir "$SMOKE/val/noisy" \
+  --act_bits 16 --per_channel_acts
+test -f "$SMOKE/export/gtcrn_micro_w8a16_pc.bin"
+
 bash scripts/build_native.sh
 NOISY="$SMOKE/val/noisy/$(ls $SMOKE/val/noisy | head -1)"
 ./native/build/gtcrn_stream "$SMOKE/export/gtcrn_micro_weights.bin" \
@@ -74,6 +81,8 @@ NOISY="$SMOKE/val/noisy/$(ls $SMOKE/val/noisy | head -1)"
   "$NOISY" "$SMOKE/native_out_int8.wav"
 ./native/build/gtcrn_stream --int16 "$SMOKE/export/w_16x8.bin" \
   "$NOISY" "$SMOKE/native_out_16x8.wav"
+./native/build/gtcrn_stream --pc "$SMOKE/export/gtcrn_micro_w8a16_pc.bin" \
+  "$NOISY" "$SMOKE/native_out_pc.wav"
 ./native/build/gtcrn_stream --bench "$SMOKE/export/gtcrn_micro_weights.bin" 4
 
 python -m gtcrn_micro_tpu.utils.complexity
