@@ -66,9 +66,18 @@ def _left() -> float:
     return _DEADLINE[0] - time.monotonic()
 
 
-def _emit() -> None:
-    """Print the single JSON result line (idempotent)."""
+def _emit(require_verified: bool = False) -> None:
+    """Print the single JSON result line (idempotent).
+
+    ``require_verified``: the signal path — if NOTHING has verified yet
+    (e.g. SIGTERM during the attach hang, before any measurement), print
+    no JSON at all: a null capture is diagnosable from the progress
+    lines, whereas `"value": 0` would read as "serves zero streams"."""
     if _BEST["emitted"]:
+        return
+    if require_verified and not _BEST["streams"]:
+        print("# nothing verified before signal: no JSON (see progress "
+              "lines above for where the run died)", flush=True)
         return
     _BEST["emitted"] = True
     streams = _BEST["streams"]
@@ -83,7 +92,7 @@ def _emit() -> None:
 def _on_signal(signum, frame):  # noqa: ARG001
     print(f"# signal {signum}: emitting best verified result and exiting",
           flush=True)
-    _emit()
+    _emit(require_verified=True)
     os._exit(0)
 
 

@@ -132,3 +132,18 @@ def test_emit_idempotent(capsys):
     bench._emit()
     payload, lines = _last_json(capsys)
     assert payload["value"] == 1234
+
+
+def test_signal_before_any_verification_prints_no_json(capsys):
+    """SIGTERM during the attach hang (nothing verified): the signal path
+    must NOT print `"value": 0` — a null capture is diagnosable, a zero
+    reads as "serves zero streams"."""
+    bench._emit(require_verified=True)
+    out = capsys.readouterr().out
+    assert not any(ln.startswith("{") for ln in out.splitlines())
+    assert "nothing verified" in out
+    # and a later verified result can still be emitted
+    bench._BEST["streams"] = 4096
+    bench._emit(require_verified=True)
+    payload, _ = _last_json(capsys)
+    assert payload["value"] == 4096
