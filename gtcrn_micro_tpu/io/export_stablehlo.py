@@ -90,6 +90,13 @@ def main(args=None) -> None:
                         help="noisy-wav dir for GTM8 activation calibration")
     parser.add_argument("--act_bits", type=int, default=16, choices=(8, 16))
     parser.add_argument("--per_channel_acts", action="store_true")
+    parser.add_argument("--gptq", action="store_true",
+                        help="GPTQ weight rounding on the deploy grid with "
+                             "an augmented Hessian corpus from --calib_dir "
+                             "(quant/gptq.py; +0.5 dB held-out over nearest "
+                             "on a16-pc -- EVAL.md r4b). Default: nearest.")
+    parser.add_argument("--gptq_clips", type=int, default=96,
+                        help="augmented Hessian corpus size for --gptq")
     ns = parser.parse_args(args)
 
     from gtcrn_micro_tpu.eval.infer import load_params
@@ -155,8 +162,20 @@ def main(args=None) -> None:
                            jnp.asarray(hi, jnp.float32), ns.act_bits)
             for p, (lo, hi) in ranges.items()
         }
-        name = ("gtcrn_micro_w8a%d%s.bin"
-                % (ns.act_bits, "_pc" if ns.per_channel_acts else ""))
+        if ns.gptq:
+            from gtcrn_micro_tpu.quant.gptq import (
+                augmented_hessian_specs,
+                gptq_params,
+            )
+
+            hspecs = augmented_hessian_specs(model, folded, ns.calib_dir,
+                                             n_clips=ns.gptq_clips)
+            print(f"GPTQ: augmented Hessian corpus {tuple(hspecs.shape)}; "
+                  "sequential rounding over 59 boundaries...", flush=True)
+            folded = gptq_params(model, folded, act_qp, hspecs)
+        name = ("gtcrn_micro_w8a%d%s%s.bin"
+                % (ns.act_bits, "_pc" if ns.per_channel_acts else "",
+                   "_gptq" if ns.gptq else ""))
         n = export_native_weights_int8(
             folded, act_qp, os.path.join(ns.out_dir, name)
         )

@@ -126,16 +126,46 @@ def _intercept_conv(hook: _CaptureHook):
         jax.lax.conv_general_dilated = orig
 
 
+def _cpu_default_device():
+    """Pin GPTQ's JAX math to the CPU backend when another platform is the
+    process default (e.g. the export CLI under the axon TPU pin): the
+    patch-algebra self-check needs exact-f32 convs to agree with the
+    numpy reconstruction (TPU conv precision trips it at ~4e-2), and an
+    offline weight-baking pass must not silently occupy the single TPU
+    tunnel.  No-op when CPU is already default or unavailable."""
+    import contextlib
+
+    try:
+        dev = jax.devices("cpu")[0]
+    except RuntimeError:  # pinned platform list without cpu
+        return contextlib.nullcontext()
+    return jax.default_device(dev)
+
+
+def _cpu_put(tree):
+    """Move a pytree to the CPU backend.  ``jax.default_device`` only
+    steers UNCOMMITTED arrays — params loaded under a TPU default are
+    committed there and would drag the capture forward back onto the
+    device (measured: the self-check trips at 4e-2 on MXU convs while
+    the identical grid passes on CPU).  No-op without a CPU backend."""
+    try:
+        dev = jax.devices("cpu")[0]
+    except RuntimeError:
+        return tree
+    return jax.device_put(tree, dev)
+
+
 def capture_boundaries(model, params, act_qp: dict, specs,
                        retain: set[str] | None = None) -> list[_Boundary]:
     """One eager offline forward under the deploy act grid; returns the
     boundary records in execution order.  ``retain`` limits which
     boundaries keep their (possibly large) input arrays."""
-    hook = _CaptureHook(act_qp, retain)
-    with _intercept_conv(hook):
+    hook = _CaptureHook(_cpu_put(act_qp), retain)
+    with _cpu_default_device(), _intercept_conv(hook):
         ctx = Ctx()
         ctx.quant = hook
-        model._forward(params, jnp.asarray(specs, jnp.float32), ctx)
+        model._forward(_cpu_put(params),
+                       _cpu_put(jnp.asarray(specs, jnp.float32)), ctx)
     return hook.records
 
 
@@ -301,6 +331,94 @@ def local_error(P: np.ndarray, W: np.ndarray, W_q: np.ndarray) -> float:
 
 
 # ---------------------------------------------------------------------------
+# Hessian corpus: input-only augmentation from any wav dir
+# ---------------------------------------------------------------------------
+
+
+def augmented_hessian_specs(model, params, wav_dir: str, n_clips: int = 96,
+                            segment_seconds: float = 4.0, fs: int = 16000,
+                            seed: int = 0) -> jnp.ndarray:
+    """(n_clips, F, T, 2) augmented Hessian corpus from ANY 16 kHz wav dir.
+
+    GPTQ with Hessians from the raw 4-wav deploy calibration measured
+    NEGATIVE held-out (−0.6 dB, scripts/gptq_eval.py) while the 96-clip
+    augmented corpus flips it positive — the per-layer objective needs
+    input DIVERSITY, exactly where the end-to-end objective could not be
+    rescued by it (EVAL.md r4).  This mirrors
+    quant/qat.build_augmented_corpus's measured recipe, input-only (GPTQ
+    needs no distillation targets), with the clean proxies computed as
+    the fp32 model's own enhancements so it works for any wav dir, not
+    just the reference examples with shipped enh pairs."""
+    import os
+
+    from gtcrn_micro_tpu.dsp.stft import sqrt_hann_window, stft
+    from gtcrn_micro_tpu.io.wav import read_wav
+    from gtcrn_micro_tpu.quant.qat import (
+        _mix_at_snr,
+        _pink_noise,
+        enhance_fp32_batch,
+    )
+
+    seg = int(segment_seconds * fs)
+    rng = np.random.default_rng(seed)
+    noisy_src = []
+    for f in sorted(os.listdir(wav_dir)):
+        if not f.endswith(".wav"):
+            continue
+        w, wav_fs = read_wav(os.path.join(wav_dir, f))
+        if w.ndim > 1:
+            w = w[:, 0]
+        assert wav_fs == fs, f"expected {fs} Hz, got {wav_fs} ({f})"
+        noisy_src.append(w.astype(np.float32))
+    assert noisy_src, f"no wavs in {wav_dir}"
+    # clean proxies: the model's own enhancement of fixed-length crops
+    crop0 = np.stack([
+        (np.tile(w, seg * 2 // len(w) + 1) if len(w) < seg * 2 else w)[: seg * 2]
+        for w in noisy_src
+    ])
+    with _cpu_default_device():
+        enh_src = list(enhance_fp32_batch(model, _cpu_put(params), crop0))
+
+    def crop(w):
+        if len(w) < seg:
+            w = np.tile(w, seg // len(w) + 1)
+        s = rng.integers(0, len(w) - seg + 1)
+        return w[s : s + seg]
+
+    clips = []
+    n = len(noisy_src)
+    for _ in range(n_clips):
+        r = rng.random()
+        k = int(rng.integers(n))
+        if r < 0.25:  # raw serving-distribution crop
+            clips.append(crop(noisy_src[k]))
+        elif r < 0.50:  # clean proxy + stationary noise
+            noise = (_pink_noise(rng, seg) if rng.random() < 0.5
+                     else rng.standard_normal(seg).astype(np.float32))
+            clips.append(_mix_at_snr(rng, crop(enh_src[k]), noise,
+                                     -5.0, 20.0))
+        elif r < 0.70:  # clean proxy + other-wav interference
+            j = (k + 1 + int(rng.integers(max(n - 1, 1)))) % n
+            clips.append(_mix_at_snr(rng, crop(enh_src[k]),
+                                     crop(noisy_src[j]), 0.0, 15.0))
+        elif r < 0.85:  # gain sweep over the serving distribution
+            clips.append(crop(noisy_src[k]) * rng.uniform(0.25, 2.0))
+        else:  # synthetic tone mixture (make_smoke_data recipe)
+            t = np.arange(seg) / fs
+            clean = sum(
+                a * np.sin(2 * np.pi * f * t)
+                for a, f in zip(rng.uniform(0.05, 0.2, 3),
+                                rng.uniform(100, 2000, 3))
+            ).astype(np.float32)
+            noise = rng.standard_normal(seg).astype(np.float32)
+            clips.append(_mix_at_snr(rng, clean, noise, 0.0, 10.0))
+    batch = np.stack(clips).astype(np.float32)
+    window = sqrt_hann_window(model.config.win_len)
+    with _cpu_default_device():
+        return jnp.asarray(stft(jnp.asarray(batch), window), jnp.float32)
+
+
+# ---------------------------------------------------------------------------
 # Driver: sequential over the execution-ordered boundaries
 # ---------------------------------------------------------------------------
 
@@ -370,7 +488,10 @@ def gptq_params(model, params, act_qp: dict, specs, *, damp: float = 0.01,
     already baked.  Returns a new params tree; every baked weight is
     on-grid (``fake_quant`` is the identity) with its per-channel scale
     identical to the original's."""
-    specs = jnp.asarray(specs, jnp.float32)
+    with _cpu_default_device():
+        specs = _cpu_put(jnp.asarray(specs, jnp.float32))
+        params = _cpu_put(params)
+        act_qp = _cpu_put(act_qp)
     # eager probe on a small slice: conv geometry + patch-algebra
     # self-check + boundary enumeration (execution order)
     probe = capture_boundaries(model, params, act_qp,
@@ -387,7 +508,8 @@ def gptq_params(model, params, act_qp: dict, specs, *, damp: float = 0.01,
     )
     current = params
     for k, b in enumerate(probe):
-        xs = capture(current, specs)
+        with _cpu_default_device():
+            xs = capture(current, specs)
         rec = _Boundary(
             path=b.path, leaf=b.leaf,
             w=np.asarray(flat[mapping[b.path]]),
@@ -395,7 +517,8 @@ def gptq_params(model, params, act_qp: dict, specs, *, damp: float = 0.01,
             x=np.asarray(jax.device_get(xs[b.path])), cfg=cfgs[b.path],
         )
         orig_w = rec.w
-        qp0 = weight_qparams(jnp.asarray(orig_w), rec.channel_axis)
+        with _cpu_default_device():
+            qp0 = weight_qparams(jnp.asarray(orig_w), rec.channel_axis)
         parts = []
         n_pos = 0
         for P, W, sc, pin in _boundary_groups(rec, max_rows=max_rows):
@@ -411,14 +534,15 @@ def gptq_params(model, params, act_qp: dict, specs, *, damp: float = 0.01,
         amax0 = np.max(np.abs(orig_w), axis=axes, keepdims=True)
         w_new = np.clip(w_new, -amax0, amax0).astype(orig_w.dtype)
         # idempotence: identical per-channel scale, on-grid values
-        qp1 = weight_qparams(jnp.asarray(w_new), rec.channel_axis)
-        assert np.allclose(np.asarray(qp0.scale), np.asarray(qp1.scale),
-                           rtol=0, atol=0), f"{rec.path}: scale drifted"
-        assert np.allclose(
-            np.asarray(fake_quant(jnp.asarray(w_new), qp1)), w_new,
-            rtol=0, atol=1e-6 * float(np.max(np.abs(w_new)) + 1e-12),
-        ), f"{rec.path}: baked weight off-grid"
-        flat[mapping[rec.path]] = jnp.asarray(w_new)
+        with _cpu_default_device():
+            qp1 = weight_qparams(jnp.asarray(w_new), rec.channel_axis)
+            assert np.allclose(np.asarray(qp0.scale), np.asarray(qp1.scale),
+                               rtol=0, atol=0), f"{rec.path}: scale drifted"
+            assert np.allclose(
+                np.asarray(fake_quant(jnp.asarray(w_new), qp1)), w_new,
+                rtol=0, atol=1e-6 * float(np.max(np.abs(w_new)) + 1e-12),
+            ), f"{rec.path}: baked weight off-grid"
+            flat[mapping[rec.path]] = jnp.asarray(w_new)
         current = _unflatten_like(params, flat)
         if log is not None:
             nearest = np.clip(

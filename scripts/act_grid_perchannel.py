@@ -21,7 +21,15 @@ on SPATIAL minor axes (the F axis at io boundaries) and on nonlinearity
 inputs need per-lane requant instead.  This experiment quantifies the
 quality headroom before any such engine work.
 
-Run: python scripts/act_grid_perchannel.py
+Calibration protocol (r4c correction): by default the held-out wav
+(noisy5) is EXCLUDED from calibration — the original r4b run symlinked
+every noisy*.wav, so noisy5's own activation ranges leaked into the
+grids it was then scored on, inflating the "held-out" a16-pc rows by
+~3-4 dB (EVAL.md r4c).  `--calib_wavs 1,2,3,4,5` reproduces the
+self-calibrated deployment mode (calibrate on the audio you are about to
+enhance — legitimate in deployment, but not a held-out number).
+
+Run: python scripts/act_grid_perchannel.py [--calib_wavs 1,2,3,4]
 """
 
 from __future__ import annotations
@@ -42,6 +50,16 @@ CKPT = "/root/reference/gtcrn_micro/ckpts/best_model_dns3.tar"
 
 
 def main() -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--calib_wavs", default="1,2,3,4",
+                        help="comma-separated noisy wav ids used for "
+                             "activation calibration (default excludes the "
+                             "held-out noisy5)")
+    ns = parser.parse_args()
+    calib_ids = [int(s) for s in ns.calib_wavs.split(",")]
+
     jax.config.update("jax_compilation_cache_dir",
                       "/tmp/gtcrn_micro_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -61,10 +79,12 @@ def main() -> None:
     fp32 = fold_bn_params(load_params(CKPT))
 
     calib_dir = tempfile.mkdtemp(prefix="gtcrn_calib_")
-    for f in sorted(os.listdir(WAV_DIR)):
-        if f.startswith("noisy") and f.endswith(".wav"):
-            os.symlink(os.path.join(WAV_DIR, f), os.path.join(calib_dir, f))
+    for i in calib_ids:
+        os.symlink(os.path.join(WAV_DIR, f"noisy{i}.wav"),
+                   os.path.join(calib_dir, f"noisy{i}.wav"))
     calib = jnp.asarray(calibration_specs(calib_dir, n_wavs=32))
+    print(f"# calibration wavs: noisy{{{ns.calib_wavs}}} "
+          f"-> specs {tuple(calib.shape)}", flush=True)
 
     def qp_from(ranges, bits):
         return {

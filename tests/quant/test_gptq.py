@@ -130,6 +130,35 @@ def test_patch_algebra_reconstructs_every_conv_boundary(setup):
     assert kinds == {"conv": 19, "depth": 6, "pw": 34}
 
 
+def test_augmented_hessian_specs_shape_determinism(setup, tmp_path):
+    """The input-only Hessian corpus builder (feeds the export CLI's
+    --gptq path): correct spec shape for the requested clip count and
+    length, finite, deterministic under a fixed seed, and actually
+    diverse (clips are not replicas of one source)."""
+    from gtcrn_micro_tpu.io.wav import write_wav
+    from gtcrn_micro_tpu.quant.gptq import augmented_hessian_specs
+
+    model, params, _, _ = setup
+    rng = np.random.default_rng(7)
+    for i in range(2):
+        write_wav(str(tmp_path / f"n{i}.wav"),
+                  rng.standard_normal(12000).astype(np.float32) * 0.1, 16000)
+
+    kw = dict(n_clips=8, segment_seconds=0.5, seed=3)
+    specs = augmented_hessian_specs(model, params, str(tmp_path), **kw)
+    f_bins = model.config.win_len // 2 + 1
+    t = 8000 // model.config.hop_len + 1  # center=True torch convention
+    assert specs.shape == (8, f_bins, t, 2)
+    assert specs.dtype == jnp.float32
+    assert np.isfinite(np.asarray(specs)).all()
+
+    again = augmented_hessian_specs(model, params, str(tmp_path), **kw)
+    np.testing.assert_array_equal(np.asarray(specs), np.asarray(again))
+
+    flat = np.asarray(specs).reshape(8, -1)
+    assert len({round(float(np.linalg.norm(c)), 5) for c in flat}) >= 6
+
+
 def test_gptq_params_bakes_on_grid_scale_invariant(setup):
     """The sequential driver: every quantized weight leaf ends on its grid
     with the identical per-channel scale (the export/sim contract), and
