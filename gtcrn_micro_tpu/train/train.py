@@ -190,8 +190,9 @@ def run(config, *, distributed: bool = False, max_steps: int | None = None):
               f"({n_batches} steps, {time.time() - t0:.0f}s)")
 
         # --- validate ---
-        val_loss, val_score, n_utts = 0.0, 0.0, 0
+        val_loss, val_score, n_utts, n_val = 0.0, 0.0, 0, 0
         for vi, (noisy, clean) in enumerate(valid_loader):
+            n_val += 1
             loss, enhanced_spec = eval_step(params, jnp.asarray(noisy),
                                             jnp.asarray(clean))
             val_loss += float(loss)
@@ -208,8 +209,11 @@ def run(config, *, distributed: bool = False, max_steps: int | None = None):
                 write_wav(os.path.join(
                     sample_dir, f"sample_1_enh_epoch{epoch:03d}.wav"),
                     wav[0], fs)
-        n_val = max(vi + 1, 1) if n_utts else 1
-        val_loss /= n_val
+        # val_loss is a mean over batches -- independent of PESQ success
+        # (previously n_utts==0 collapsed the divisor to 1, turning val_loss
+        # into a SUM exactly when scoring broke; an empty loader left vi
+        # unbound)
+        val_loss /= max(n_val, 1)
         score = val_score / max(n_utts, 1)
         writer.scalars(step, val_loss=val_loss, val_score=score, epoch=epoch)
         print(f"epoch {epoch}: val_loss={val_loss:.3f} score={score:.4f}")
