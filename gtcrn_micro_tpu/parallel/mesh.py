@@ -47,6 +47,36 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def shard_batch_multiprocess(mesh: Mesh, local_batch, axis: str = "data"):
+    """Assemble a global sharded batch from per-process local shards.
+
+    Multi-controller counterpart of :func:`shard_batch` (the reference's
+    DistributedSampler role, train.py:56-60): every process passes only ITS
+    rows; the returned global jax.Arrays are sharded over ``axis`` across
+    all processes' devices.  Works single-process too (then it equals
+    ``shard_batch``).
+    """
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        local_batch,
+    )
+
+
+def replicate_multiprocess(mesh: Mesh, tree):
+    """Replicate host pytrees across a multi-process mesh.
+
+    Each process must hold an identical copy (e.g. params from a
+    deterministic seed or a restored checkpoint); this lifts them into
+    global fully-replicated jax.Arrays.
+    """
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        tree,
+    )
+
+
 def make_sharded_serving_step(model, mesh: Mesh, axis: str = "data"):
     """jit'd streaming step with the stream batch sharded over the mesh.
 
