@@ -128,7 +128,13 @@ def main(args=None) -> None:
                         help="minor-axis activation scales (r4b: +5-9 dB "
                              "held-out; deploys via GTM8 v3 + the native "
                              "PC engine)")
+    parser.add_argument("--integer_pc", action="store_true",
+                        help="with --per_channel_acts: simulate the GTM8 v4 "
+                             "full-integer deployment (weight rounding on "
+                             "act-scale-folded tensors)")
     ns = parser.parse_args(args)
+    if ns.integer_pc and not ns.per_channel_acts:
+        parser.error("--integer_pc requires --per_channel_acts")
     cfg = load_config(ns.config)
 
     noisy_dir = cfg["test_dataset"]["noisy_dir"]
@@ -147,8 +153,10 @@ def main(args=None) -> None:
         calib = calibration_specs(calib_dir, n_wavs=32)
         model = make_quantized_model(model, params, calib,
                                      act_bits=ns.act_bits,
-                                     per_channel_acts=ns.per_channel_acts)
-        tag = " per-channel" if ns.per_channel_acts else ""
+                                     per_channel_acts=ns.per_channel_acts,
+                                     v4=ns.integer_pc)
+        tag = (" per-channel v4" if ns.integer_pc
+               else " per-channel" if ns.per_channel_acts else "")
         print(f"int{ns.act_bits}{tag} PTQ model calibrated on {calib_dir}")
 
     wavs = sorted(

@@ -93,6 +93,55 @@ def act_path_order() -> list[str]:
     return order
 
 
+def _slot_fold_info() -> list:
+    """(act_path, fold_axis) per pack_weights slot -- the boundary whose
+    per-LANE activation scales fold into this weight for the v4
+    integer-MAC artifact, and the PACKED-layout axis that contracts against
+    those lanes (the in-channel axis for mixing convs, the channel axis for
+    depthwise).  (None, None) for fp32/bias/alpha slots."""
+    none = (None, None)
+    info: list = [none, none]  # bm, bs
+    info += [("sfe/depth_conv/in", 1)]  # (3, c, 1, 1) depthwise
+    for n in ("en0", "en1"):
+        info += [(f"encoder/{n}/conv/in", 2), none, none]  # (5, Co, Ci)
+    def gt(prefix: str, dw_fold: int) -> list:
+        return [
+            (prefix + "pw1/in", 1), none, none,        # pw1_w (Co, Ci)
+            (prefix + "depth_conv/in", dw_fold), none, none,
+            (prefix + "pw2/in", 1), none,              # pw2_w (Co, Ci)
+            (prefix + "tra/energy", 1), none,          # tra_dw (3, C, 1)
+            (prefix + "tra/gate_in", 1), none,         # tra_pw (Co, Ci)
+        ]
+    for n in ("en2", "en3", "en4"):
+        info += gt(f"encoder/{n}/", 1)  # enc dw (9, C, 1, 1) depthwise
+    for s in ("gtcn1", "gtcn2"):
+        for j in range(4):
+            p = f"{s}/block{j}/"
+            info += [
+                (p + "pw1/in", 1), none, none,
+                (p + "conv2/in", 1), none, none,  # dw (3, C, 1, 1)
+                (p + "pw3/in", 1), none, none,
+            ]
+    for n in ("de0", "de1", "de2"):
+        info += gt(f"decoder/{n}/", 3)  # dec dw (3, 3, Co, Ci) full conv
+    info += [("decoder/de3/conv/in", 2), none, none]
+    info += [("decoder/de4/conv/in", 2), none]
+    return info
+
+
+def _fold_act_scales(t: np.ndarray, scale, axis: int) -> np.ndarray:
+    """Multiply the weight's in-lane axis by the boundary's act scales
+    (float32 throughout, matching FakeQuantizerV4)."""
+    s = np.atleast_1d(np.asarray(scale, np.float32)).ravel()
+    if s.size == 1:
+        return (t * s[0]).astype(np.float32)
+    if t.shape[axis] != s.size:
+        raise ValueError(f"fold axis {axis} of {t.shape} != {s.size} lanes")
+    shape = [1] * t.ndim
+    shape[axis] = s.size
+    return (t.astype(np.float32) * s.reshape(shape)).astype(np.float32)
+
+
 def _quantize_per_channel(t: np.ndarray, axis: int):
     """TFLite-style symmetric per-channel int8, bit-matching
     quant/fake_quant.weight_qparams (all arithmetic in float32 -- float64
@@ -109,7 +158,8 @@ def _quantize_per_channel(t: np.ndarray, axis: int):
     return q, scale
 
 
-def export_native_weights_int8(params, act_qp: dict, path: str) -> int:
+def export_native_weights_int8(params, act_qp: dict, path: str,
+                               integer_pc: bool = False) -> int:
     """Serialize the full-integer quantized artifact (GTM8).
 
     ``act_qp``: path -> QParams from quant.ptq calibration -- ``act_bits=8``
@@ -123,8 +173,14 @@ def export_native_weights_int8(params, act_qp: dict, path: str) -> int:
     clamp to the int8 grid inside int16 storage -- numerics identical to a
     pure-int8 engine at those boundaries).  Weights are BN-folded THEN
     quantized per out-channel -- the TFLite fold-then-quantize order, which
-    is also what the native integer kernels execute.  Returns the tensor
-    count."""
+    is also what the native integer kernels execute.
+
+    Per-channel activation scales select the v3 layout (act_bits=1,
+    per-boundary lane vectors; the fp32-MAC PC engine).  ``integer_pc=True``
+    emits the v4 layout instead (act_bits=2): every int8 weight slot is
+    quantized on its act-scale-FOLDED tensor so the per-channel grid runs
+    on FULL-INTEGER MACs (native/gtcrn_micro_v4.cc; sim =
+    quant.ptq.QuantizedModel(v4=True)).  Returns the tensor count."""
     from gtcrn_micro_tpu.ops.fused_step import pack_weights
 
     tensors = [np.asarray(w, np.float32) for w in pack_weights(params)]
@@ -155,16 +211,29 @@ def export_native_weights_int8(params, act_qp: dict, path: str) -> int:
     # header act_bits: 8/16 = uniform (v1 layout, back-compatible);
     # 0 = MIXED precision (v2 layout: per-boundary bits precede each qparam)
     act_bits = 1 if per_channel else (per_bits[0] if uniform else 0)
+    # v4 (integer_pc): full-INTEGER MACs under per-lane act scales -- each
+    # weight slot is quantized on its act-scale-FOLDED tensor (the folded
+    # per-out-channel scale then carries both scales through one float
+    # rescale per output; matches quant.ptq.FakeQuantizerV4).  Header
+    # act_bits=2; act section uses the v3 per-lane layout.
+    fold_info = None
+    if integer_pc:
+        act_bits = 2
+        fold_info = _slot_fold_info()
+        assert len(fold_info) == len(axes)
 
     with open(path, "wb") as f:
         f.write(struct.pack("<II", MAGIC_INT8, len(tensors)))
-        for t, axis in zip(tensors, axes):
+        for i, (t, axis) in enumerate(zip(tensors, axes)):
             f.write(struct.pack("<I", t.ndim))
             f.write(struct.pack(f"<{t.ndim}I", *t.shape))
             if axis is None:
                 f.write(struct.pack("<I", 0))
                 f.write(t.astype("<f4").tobytes())
             else:
+                if fold_info is not None:
+                    act_path, fold_axis = fold_info[i]
+                    t = _fold_act_scales(t, act_qp[act_path].scale, fold_axis)
                 q, scale = _quantize_per_channel(t, axis)
                 f.write(struct.pack("<II", 1, len(scale)))
                 f.write(scale.astype("<f4").tobytes())
@@ -172,7 +241,7 @@ def export_native_weights_int8(params, act_qp: dict, path: str) -> int:
         f.write(struct.pack("<II", act_bits, len(order)))
         for p, bits in zip(order, per_bits):
             qp = act_qp[p]
-            if per_channel:  # v3: bits, n_lanes, scales, zeros
+            if per_channel or integer_pc:  # v3/v4: bits, lanes, scales, zeros
                 s = np.atleast_1d(np.asarray(qp.scale, np.float32)).ravel()
                 z = np.broadcast_to(
                     np.atleast_1d(np.asarray(qp.zero)).ravel(), s.shape

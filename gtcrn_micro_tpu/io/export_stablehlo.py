@@ -90,6 +90,11 @@ def main(args=None) -> None:
                         help="noisy-wav dir for GTM8 activation calibration")
     parser.add_argument("--act_bits", type=int, default=16, choices=(8, 16))
     parser.add_argument("--per_channel_acts", action="store_true")
+    parser.add_argument("--integer_pc", action="store_true",
+                        help="with --per_channel_acts: GTM8 v4 -- quantize "
+                             "each weight on its act-scale-folded tensor so "
+                             "the per-channel grid runs full-INTEGER MACs "
+                             "(native EngineV4; quant.ptq v4=True sim)")
     parser.add_argument("--gptq", action="store_true",
                         help="GPTQ weight rounding on the deploy grid with "
                              "an augmented Hessian corpus from --calib_dir "
@@ -173,15 +178,19 @@ def main(args=None) -> None:
             print(f"GPTQ: augmented Hessian corpus {tuple(hspecs.shape)}; "
                   "sequential rounding over 59 boundaries...", flush=True)
             folded = gptq_params(model, folded, act_qp, hspecs)
-        name = ("gtcrn_micro_w8a%d%s%s.bin"
+        if ns.integer_pc and not ns.per_channel_acts:
+            parser.error("--integer_pc requires --per_channel_acts")
+        name = ("gtcrn_micro_w8a%d%s%s%s.bin"
                 % (ns.act_bits, "_pc" if ns.per_channel_acts else "",
+                   "_v4" if ns.integer_pc else "",
                    "_gptq" if ns.gptq else ""))
         n = export_native_weights_int8(
-            folded, act_qp, os.path.join(ns.out_dir, name)
+            folded, act_qp, os.path.join(ns.out_dir, name),
+            integer_pc=ns.integer_pc,
         )
-        produced.append(
-            f"GTM8 {'v3 per-channel ' if ns.per_channel_acts else ''}"
-            f"w8a{ns.act_bits} ({n} tensors, {name})")
+        ver = ("v4 integer per-channel " if ns.integer_pc
+               else "v3 per-channel " if ns.per_channel_acts else "")
+        produced.append(f"GTM8 {ver}w8a{ns.act_bits} ({n} tensors, {name})")
 
     print(f"exported {'; '.join(produced)} to {ns.out_dir}")
 

@@ -82,6 +82,66 @@ class FakeQuantizer:
         return fake_quant(w, weight_qparams(w, channel_axis))
 
 
+def _in_channel_axis(leaf: str, w, lanes: int) -> int:
+    """Axis of ``w`` that contracts against the boundary's activation lanes
+    (the NHWC channel axis), in the MODEL layout.
+
+    - 4-D HWIO convs: axis 2 (I) for mixing convs; axis 3 (O) for depthwise
+      (I == 1, each output channel reads its own input lane).
+    - 2-D pointwise (in, out): axis 0.
+    - TRA ``depth_w`` (k, C): depthwise over the channel -> axis 1.
+    """
+    if w.ndim == 4:
+        if w.shape[2] == lanes and w.shape[2] > 1:
+            return 2
+        if w.shape[2] == 1 and w.shape[3] == lanes:
+            return 3
+    elif w.ndim == 2:
+        if leaf == "depth_w" and w.shape[1] == lanes:
+            return 1
+        if leaf != "depth_w" and w.shape[0] == lanes:
+            return 0
+    raise ValueError(f"cannot map {lanes} act lanes onto {leaf} {w.shape}")
+
+
+class FakeQuantizerV4(FakeQuantizer):
+    """Integer-MAC per-channel simulation (GTM8 v4).
+
+    Per-LANE activation scales on a MIXING conv input cannot ride an integer
+    MAC directly (the scale varies inside the contraction).  The standard
+    fix -- what the v4 native engine executes -- is to fold the lane scales
+    into the weights: quantize ``w_folded = w * s_in`` per out-channel, then
+    the integer dot ``sum_i W[o,i] * (q_i - z_i)`` needs only ONE float
+    rescale (the folded weight scale) per output.  The simulated effective
+    weight is therefore ``dequant(quant(w * s_in)) / s_in`` -- weight
+    rounding happens on the act-scale-folded tensor, which is the only
+    numerical difference vs the v3 fake-quant sim.
+    """
+
+    def __init__(self, act_qp: dict[str, QParams]):
+        super().__init__(act_qp)
+        self._last_act: str | None = None
+
+    def act(self, ctx: Ctx, leaf: str, x):
+        # every weight hook fires immediately after its boundary's act hook
+        # (nn/core.py call sites), so the pairing is positional
+        self._last_act = ctx.path(leaf)
+        return super().act(ctx, leaf, x)
+
+    def weight(self, ctx: Ctx, leaf: str, w, channel_axis: int):
+        qp = self.act_qp[self._last_act]
+        s = jnp.ravel(jnp.asarray(qp.scale, jnp.float32))
+        if s.size == 1:
+            sf = s[0]
+        else:
+            ax = _in_channel_axis(leaf, w, int(s.size))
+            shape = [1] * w.ndim
+            shape[ax] = s.size
+            sf = s.reshape(shape)
+        wf = w * sf
+        return fake_quant(wf, weight_qparams(wf, channel_axis)) / sf
+
+
 @dataclasses.dataclass
 class QuantizedModel:
     """int8-simulated model: offline ``apply`` and streaming ``step``.
@@ -94,10 +154,17 @@ class QuantizedModel:
 
     model: Any
     act_qp: dict[str, QParams]
+    # v4: weight rounding on act-scale-folded tensors (FakeQuantizerV4),
+    # matching the full-integer per-channel native engine (GTM8 v4)
+    v4: bool = False
+
+    def _quantizer(self):
+        cls = FakeQuantizerV4 if self.v4 else FakeQuantizer
+        return cls(self.act_qp)
 
     def apply(self, params, spec):
         ctx = Ctx()
-        ctx.quant = FakeQuantizer(self.act_qp)
+        ctx.quant = self._quantizer()
         return self.model._forward(params, spec, ctx)
 
     def init_state(self, batch: int):
@@ -106,7 +173,7 @@ class QuantizedModel:
     def step(self, params, state, spec):
         ring = "step" in state
         ctx = Ctx(state=state, ring=ring, step=state.get("step"))
-        ctx.quant = FakeQuantizer(self.act_qp)
+        ctx.quant = self._quantizer()
         out = self.model._forward(params, spec, ctx)
         new_state = ctx.new_state
         if ring:
@@ -146,7 +213,7 @@ def observe_ranges(model, params, calib_specs, batch_size: int = 8,
 
 def make_quantized_model(model, params, calib_specs, batch_size: int = 8,
                          percentile: float = 99.99, act_bits: int = 8,
-                         per_channel_acts: bool = False):
+                         per_channel_acts: bool = False, v4: bool = False):
     """One-shot PTQ: observe ranges, freeze qparams, return QuantizedModel.
 
     ``act_bits=8`` -> full-int8 (TFLite default mode, the reference artifact's
@@ -154,6 +221,8 @@ def make_quantized_model(model, params, calib_specs, batch_size: int = 8,
     which preserves the high-dynamic-range TRA-gate/decoder activations.
     ``per_channel_acts``: minor-axis activation scales (beyond TFLite --
     scripts/act_grid_perchannel.py measures what this buys).
+    ``v4``: simulate the full-integer per-channel deployment (GTM8 v4):
+    weight rounding on act-scale-folded tensors (FakeQuantizerV4).
     """
     ranges = observe_ranges(model, params, calib_specs, batch_size,
                             percentile, per_channel=per_channel_acts)
@@ -162,4 +231,4 @@ def make_quantized_model(model, params, calib_specs, batch_size: int = 8,
                           jnp.asarray(hi, jnp.float32), act_bits)
         for path, (lo, hi) in ranges.items()
     }
-    return QuantizedModel(model=model, act_qp=act_qp)
+    return QuantizedModel(model=model, act_qp=act_qp, v4=v4)

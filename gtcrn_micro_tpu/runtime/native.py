@@ -57,7 +57,11 @@ class NativeEngine:
     GTM8 v2 mixed-precision artifacts (per-boundary 8/16 act bits).
     ``quant="pc"`` loads a GTM8 v3 per-channel-activation artifact through
     the PC engine (int8 weights dequantized at load, per-lane boundary
-    fake-quant, fp32 MACs -- EVAL.md r4b: 16x8 held-out +5.4 dB)."""
+    fake-quant, fp32 MACs -- EVAL.md r4b: 16x8 held-out +5.4 dB).
+    ``quant="v4"`` loads a GTM8 v4 full-INTEGER per-channel artifact
+    (act-scale-folded int8 weights, integer MACs; int16 activation storage
+    covers 8- and 16-bit boundaries); ``quant="v48"`` is the int8-storage
+    variant for pure-int8 v4 grids."""
 
     def __init__(self, weights_path: str, lib_path: str | None = None,
                  int8: bool = False, quant: str | None = None):
@@ -65,7 +69,8 @@ class NativeEngine:
         self._lib = ctypes.CDLL(lib_path)
         quant = quant or ("int8" if int8 else None)
         p = {None: "gtm_", "int8": "gtm_q", "int16": "gtm_q16",
-             "mixed": "gtm_q16", "pc": "gtm_pc"}[quant]
+             "mixed": "gtm_q16", "pc": "gtm_pc", "v4": "gtm_v4",
+             "v48": "gtm_v48"}[quant]
         self._fn = {
             name: getattr(self._lib, f"{p}{name}")
             for name in (

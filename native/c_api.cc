@@ -290,4 +290,148 @@ void gtm_pcstep_batch(void* engine, void* states, const float* spec,
   }
 }
 
+// ---- full-integer per-channel engine (GTM8 v4 artifact) ----
+// int16 activation storage handles any v4 artifact (8- and 16-bit
+// boundaries); gtm_v48_* is the int8-storage variant for pure-int8 grids.
+
+void* gtm_v4engine_create(const char* weights_path) {
+  try {
+    return new gtcrn::EngineV4(weights_path);
+  } catch (...) {
+    return nullptr;
+  }
+}
+
+void gtm_v4engine_destroy(void* engine) {
+  delete static_cast<gtcrn::EngineV4*>(engine);
+}
+
+void* gtm_v4state_create(void* engine) {
+  auto* s = new (std::nothrow) gtcrn::StreamStateQ16();
+  if (s && engine) static_cast<gtcrn::EngineV4*>(engine)->InitState(*s);
+  return s;
+}
+
+void gtm_v4state_destroy(void* state) {
+  delete static_cast<gtcrn::StreamStateQ16*>(state);
+}
+
+void gtm_v4state_reset(void* engine, void* state) {
+  static_cast<gtcrn::EngineV4*>(engine)->InitState(
+      *static_cast<gtcrn::StreamStateQ16*>(state));
+}
+
+void gtm_v4step(void* engine, void* state, const float* spec, float* out) {
+  auto* e = static_cast<gtcrn::EngineV4*>(engine);
+  auto* s = static_cast<gtcrn::StreamStateQ16*>(state);
+  e->Step(*s, spec, spec + 257, out, out + 257);
+}
+
+void gtm_v4enhance(void* engine, const float* samples, int n, float* out) {
+  auto* e = static_cast<gtcrn::EngineV4*>(engine);
+  std::vector<float> in(samples, samples + n);
+  auto res = e->EnhanceWav(in);
+  std::memcpy(out, res.data(), sizeof(float) * n);
+}
+
+void* gtm_v4state_batch_create(void* engine, int n) {
+  auto* v = new (std::nothrow) std::vector<gtcrn::StreamStateQ16>(n);
+  if (v && engine) {
+    for (auto& s : *v) static_cast<gtcrn::EngineV4*>(engine)->InitState(s);
+  }
+  return v;
+}
+
+void gtm_v4state_batch_destroy(void* states) {
+  delete static_cast<std::vector<gtcrn::StreamStateQ16>*>(states);
+}
+
+void gtm_v4step_batch(void* engine, void* states, const float* spec,
+                      float* out, int n) {
+  auto* e = static_cast<gtcrn::EngineV4*>(engine);
+  auto* s = static_cast<std::vector<gtcrn::StreamStateQ16>*>(states);
+  std::vector<float> re(n * 257), im(n * 257), ore(n * 257), oim(n * 257);
+  for (int i = 0; i < n; ++i) {
+    std::memcpy(re.data() + i * 257, spec + i * 514, 257 * sizeof(float));
+    std::memcpy(im.data() + i * 257, spec + i * 514 + 257,
+                257 * sizeof(float));
+  }
+  e->StepBatch(s->data(), re.data(), im.data(), ore.data(), oim.data(), n);
+  for (int i = 0; i < n; ++i) {
+    std::memcpy(out + i * 514, ore.data() + i * 257, 257 * sizeof(float));
+    std::memcpy(out + i * 514 + 257, oim.data() + i * 257,
+                257 * sizeof(float));
+  }
+}
+
+void* gtm_v48engine_create(const char* weights_path) {
+  try {
+    return new gtcrn::EngineV48(weights_path);
+  } catch (...) {
+    return nullptr;
+  }
+}
+
+void gtm_v48engine_destroy(void* engine) {
+  delete static_cast<gtcrn::EngineV48*>(engine);
+}
+
+void* gtm_v48state_create(void* engine) {
+  auto* s = new (std::nothrow) gtcrn::StreamStateQ();
+  if (s && engine) static_cast<gtcrn::EngineV48*>(engine)->InitState(*s);
+  return s;
+}
+
+void gtm_v48state_destroy(void* state) {
+  delete static_cast<gtcrn::StreamStateQ*>(state);
+}
+
+void gtm_v48state_reset(void* engine, void* state) {
+  static_cast<gtcrn::EngineV48*>(engine)->InitState(
+      *static_cast<gtcrn::StreamStateQ*>(state));
+}
+
+void gtm_v48step(void* engine, void* state, const float* spec, float* out) {
+  auto* e = static_cast<gtcrn::EngineV48*>(engine);
+  auto* s = static_cast<gtcrn::StreamStateQ*>(state);
+  e->Step(*s, spec, spec + 257, out, out + 257);
+}
+
+void gtm_v48enhance(void* engine, const float* samples, int n, float* out) {
+  auto* e = static_cast<gtcrn::EngineV48*>(engine);
+  std::vector<float> in(samples, samples + n);
+  auto res = e->EnhanceWav(in);
+  std::memcpy(out, res.data(), sizeof(float) * n);
+}
+
+void* gtm_v48state_batch_create(void* engine, int n) {
+  auto* v = new (std::nothrow) std::vector<gtcrn::StreamStateQ>(n);
+  if (v && engine) {
+    for (auto& s : *v) static_cast<gtcrn::EngineV48*>(engine)->InitState(s);
+  }
+  return v;
+}
+
+void gtm_v48state_batch_destroy(void* states) {
+  delete static_cast<std::vector<gtcrn::StreamStateQ>*>(states);
+}
+
+void gtm_v48step_batch(void* engine, void* states, const float* spec,
+                       float* out, int n) {
+  auto* e = static_cast<gtcrn::EngineV48*>(engine);
+  auto* s = static_cast<std::vector<gtcrn::StreamStateQ>*>(states);
+  std::vector<float> re(n * 257), im(n * 257), ore(n * 257), oim(n * 257);
+  for (int i = 0; i < n; ++i) {
+    std::memcpy(re.data() + i * 257, spec + i * 514, 257 * sizeof(float));
+    std::memcpy(im.data() + i * 257, spec + i * 514 + 257,
+                257 * sizeof(float));
+  }
+  e->StepBatch(s->data(), re.data(), im.data(), ore.data(), oim.data(), n);
+  for (int i = 0; i < n; ++i) {
+    std::memcpy(out + i * 514, ore.data() + i * 257, 257 * sizeof(float));
+    std::memcpy(out + i * 514 + 257, oim.data() + i * 257,
+                257 * sizeof(float));
+  }
+}
+
 }  // extern "C"

@@ -296,6 +296,92 @@ class EnginePC {
   WeightsPC w_;
 };
 
+// ---------------------------------------------------------------------------
+// Full-integer per-channel engine (GTM8 v4, native/gtcrn_micro_v4.cc).
+//
+// The v3 PC engine above buys per-lane activation quality with fp32 MACs.
+// v4 gets BOTH: at export every int8 weight slot is quantized on its
+// act-scale-FOLDED tensor (w * s_in along the in-lane axis), so the integer
+// dot  sum_i W[o,i] * (q_i - z_i)  needs only ONE float rescale -- the
+// folded per-out-channel weight scale -- per output, exactly like the
+// per-tensor engines.  This is the reference deployment story
+// (full-integer TFLM, esp32_s3/main/main.cc:85-117) carried to the
+// per-channel grid.  Numerics == quant.ptq.QuantizedModel(v4=True).
+// ---------------------------------------------------------------------------
+
+struct GTConvV4 {
+  QTensor pw1_w, dw_w, pw2_w, tra_dw, tra_pw;  // act-scale-folded int8
+  Tensor pw1_b, dw_b, pw2_b, tra_db, tra_pb;
+  float a1, a2;
+  ActQV pw1_in, dw_in, pw2_in, energy, gate_in;
+  // zero-offset tables precomputed at load (weights x per-lane zeros are
+  // both artifact constants), so the hot loops run pure integer MACs:
+  // pw*_zoff[co] = sum_ci w[co,ci]*z_ci; dw_z{full,0,32}[c] = the 3-tap
+  // freq conv's z-weighted tap sums (full range / f==0 / f==kFDown-1
+  // boundary-clip corrections, summed over all 3 time taps).
+  std::vector<int32_t> pw1_zoff, pw2_zoff, tra_pw_zoff, tra_dw_zoff;
+  std::vector<int32_t> dw_zfull, dw_z0, dw_z32;
+};
+
+struct TcnV4 {
+  QTensor pw1_w, dw_w, pw3_w;
+  Tensor pw1_b, dw_b, pw3_b;
+  float a1, a2, a3;
+  ActQV pw1_in, dw_in, pw3_in;
+  std::vector<int32_t> pw1_zoff, pw3_zoff, dw_zoff;  // see GTConvV4
+};
+
+struct ConvV4 {
+  QTensor w;
+  Tensor b;
+  float a = 0.f;
+  ActQV in;
+  std::vector<int32_t> kz;  // per (tap k, co): sum_ci w[k,co,ci]*z_ci
+};
+
+struct WeightsV4 {
+  Tensor bm_w, bs_w;
+  QTensor sfe_w;
+  ActQV sfe_in;
+  ConvV4 en0, en1, de3, de4;
+  std::array<GTConvV4, 3> enc;
+  std::array<GTConvV4, 3> dec;
+  std::array<TcnV4, 8> tcn;
+  uint32_t max_bits = 16;  // widest per-boundary act grid in the artifact
+
+  static WeightsV4 Load(const std::string& path);  // throws on error
+};
+
+// Rings hold per-lane-quantized integers (StreamStateQT); fresh rings take
+// each boundary's PER-LANE zero points -- use InitState.
+template <typename TAct>
+class EngineV4T {
+ public:
+  explicit EngineV4T(const std::string& weights_path)
+      : w_(WeightsV4::Load(weights_path)) {
+    CheckActBits();
+  }
+  explicit EngineV4T(WeightsV4 w) : w_(std::move(w)) { CheckActBits(); }
+
+  void InitState(StreamStateQT<TAct>& st) const;
+  void Step(StreamStateQT<TAct>& st, const float* spec_re,
+            const float* spec_im, float* out_re, float* out_im) const;
+  void StepBatch(StreamStateQT<TAct>* states, const float* spec_re,
+                 const float* spec_im, float* out_re, float* out_im,
+                 int n) const;
+  std::vector<float> EnhanceWav(const std::vector<float>& samples) const;
+
+ private:
+  void CheckActBits() const;
+  WeightsV4 w_;
+};
+
+using EngineV4 = EngineV4T<int16_t>;   // 16x8 per-channel (quality grid)
+using EngineV48 = EngineV4T<int8_t>;   // full-int8 per-channel
+
+extern template class EngineV4T<int8_t>;
+extern template class EngineV4T<int16_t>;
+
 // torch-compatible sqrt-Hann STFT helpers (torch.stft center=true, reflect
 // pad; istft with synthesis-window-square normalization).
 namespace dsp {

@@ -112,6 +112,16 @@ void InitStates(const gtcrn::EngineQ16& e,
                 std::vector<gtcrn::StreamStateQ16>& v) {
   for (auto& s : v) e.InitState(s);
 }
+template <>
+void InitStates(const gtcrn::EngineV4& e,
+                std::vector<gtcrn::StreamStateQ16>& v) {
+  for (auto& s : v) e.InitState(s);
+}
+template <>
+void InitStates(const gtcrn::EngineV48& e,
+                std::vector<gtcrn::StreamStateQ>& v) {
+  for (auto& s : v) e.InitState(s);
+}
 
 template <typename EngineT, typename StateT>
 int RunBench(const char* weights, int n_streams, int frames) {
@@ -147,7 +157,8 @@ int RunBench(const char* weights, int n_streams, int frames) {
 }
 
 int main(int argc, char** argv) {
-  int quant = 0;  // 0 = fp32, 8 = int8, 16 = 16x8, 1 = per-channel (v3)
+  int quant = 0;  // 0 = fp32, 8 = int8, 16 = 16x8, 1 = per-channel (v3),
+                  // 2 = full-integer per-channel (v4), 3 = v4 int8 storage
   bool online = false;  // true: hop-by-hop AudioStream framing (O(1) state)
   int argi = 1;
   for (; argi < argc; ++argi) {
@@ -157,6 +168,10 @@ int main(int argc, char** argv) {
       quant = 16;
     } else if (!std::strcmp(argv[argi], "--pc")) {
       quant = 1;
+    } else if (!std::strcmp(argv[argi], "--v4")) {
+      quant = 2;
+    } else if (!std::strcmp(argv[argi], "--v48")) {
+      quant = 3;
     } else if (!std::strcmp(argv[argi], "--online")) {
       online = true;
     } else {
@@ -177,14 +192,23 @@ int main(int argc, char** argv) {
       return RunBench<gtcrn::EnginePC, gtcrn::StreamState>(argv[argi + 1], n,
                                                            200);
     }
+    if (quant == 2) {
+      return RunBench<gtcrn::EngineV4, gtcrn::StreamStateQ16>(argv[argi + 1],
+                                                              n, 200);
+    }
+    if (quant == 3) {
+      return RunBench<gtcrn::EngineV48, gtcrn::StreamStateQ>(argv[argi + 1],
+                                                             n, 200);
+    }
     return RunBench<gtcrn::Engine, gtcrn::StreamState>(argv[argi + 1], n,
                                                        200);
   }
   if (argc - argi != 3) {
     std::fprintf(stderr,
-                 "usage: %s [--int8|--int16|--pc] [--online] <weights.bin>"
-                 " <in.wav> <out.wav>\n"
-                 "       %s [--int8|--int16|--pc] --bench <weights.bin> [n]\n",
+                 "usage: %s [--int8|--int16|--pc|--v4|--v48] [--online]"
+                 " <weights.bin> <in.wav> <out.wav>\n"
+                 "       %s [--int8|--int16|--pc|--v4|--v48] --bench"
+                 " <weights.bin> [n]\n",
                  argv[0], argv[0]);
     return 1;
   }
@@ -199,6 +223,8 @@ int main(int argc, char** argv) {
   std::unique_ptr<gtcrn::EngineQ> engine_q;
   std::unique_ptr<gtcrn::EngineQ16> engine_q16;
   std::unique_ptr<gtcrn::EnginePC> engine_pc;
+  std::unique_ptr<gtcrn::EngineV4> engine_v4;
+  std::unique_ptr<gtcrn::EngineV48> engine_v48;
   try {
     if (quant == 8) {
       engine_q = std::make_unique<gtcrn::EngineQ>(std::string(argv[argi]));
@@ -206,6 +232,10 @@ int main(int argc, char** argv) {
       engine_q16 = std::make_unique<gtcrn::EngineQ16>(std::string(argv[argi]));
     } else if (quant == 1) {
       engine_pc = std::make_unique<gtcrn::EnginePC>(std::string(argv[argi]));
+    } else if (quant == 2) {
+      engine_v4 = std::make_unique<gtcrn::EngineV4>(std::string(argv[argi]));
+    } else if (quant == 3) {
+      engine_v48 = std::make_unique<gtcrn::EngineV48>(std::string(argv[argi]));
     } else {
       engine = std::make_unique<gtcrn::Engine>(std::string(argv[argi]));
     }
@@ -226,6 +256,8 @@ int main(int argc, char** argv) {
     gtcrn::StreamStateQ16 st_q16;
     if (quant == 8) engine_q->InitState(st_q);
     if (quant == 16) engine_q16->InitState(st_q16);
+    if (quant == 2) engine_v4->InitState(st_q16);
+    if (quant == 3) engine_v48->InitState(st_q);
     std::function<void(const float*, const float*, float*, float*)> step;
     if (quant == 8) {
       step = [&](const float* re, const float* im, float* ore, float* oim) {
@@ -234,6 +266,14 @@ int main(int argc, char** argv) {
     } else if (quant == 16) {
       step = [&](const float* re, const float* im, float* ore, float* oim) {
         engine_q16->Step(st_q16, re, im, ore, oim);
+      };
+    } else if (quant == 2) {
+      step = [&](const float* re, const float* im, float* ore, float* oim) {
+        engine_v4->Step(st_q16, re, im, ore, oim);
+      };
+    } else if (quant == 3) {
+      step = [&](const float* re, const float* im, float* ore, float* oim) {
+        engine_v48->Step(st_q, re, im, ore, oim);
       };
     } else if (quant == 1) {
       step = [&](const float* re, const float* im, float* ore, float* oim) {
@@ -261,6 +301,8 @@ int main(int argc, char** argv) {
     out = quant == 8    ? engine_q->EnhanceWav(samples)
           : quant == 16 ? engine_q16->EnhanceWav(samples)
           : quant == 1  ? engine_pc->EnhanceWav(samples)
+          : quant == 2  ? engine_v4->EnhanceWav(samples)
+          : quant == 3  ? engine_v48->EnhanceWav(samples)
                         : engine->EnhanceWav(samples);
   }
   auto us = std::chrono::duration_cast<std::chrono::microseconds>(
