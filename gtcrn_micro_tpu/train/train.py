@@ -33,7 +33,7 @@ from gtcrn_micro_tpu.models.registry import get_model
 from gtcrn_micro_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from gtcrn_micro_tpu.train.dataloader import PairedWavDataset, PrefetchLoader
 from gtcrn_micro_tpu.train.loss import HybridLossConfig
-from gtcrn_micro_tpu.train.scheduler import WarmupCosineConfig
+from gtcrn_micro_tpu.train.scheduler import WarmupCosineConfig, warmup_cosine_lr
 from gtcrn_micro_tpu.train.trainer import (
     TrainerConfig,
     make_eval_step,
@@ -170,21 +170,42 @@ def run(config, *, distributed: bool = False, max_steps: int | None = None):
     best = BestTracker(os.path.join(exp_path, "checkpoints"))
     fs = trainer_cfg.samplerate
 
-    for epoch in range(start_epoch, trainer_cfg.epochs + start_epoch):
+    # ``epochs`` is the TOTAL epoch count (reference train.py:406: the loop
+    # runs start_epoch..epochs inclusive) -- a resumed run finishes the same
+    # recipe instead of appending `epochs` more on top of the restored state.
+    for epoch in range(start_epoch, trainer_cfg.epochs + 1):
         # --- train ---
         train_ds.sample_data_per_epoch()
         t0 = time.time()
         total_loss, n_batches = 0.0, 0
+        # Per-step losses stay ON DEVICE between log points: a float() per
+        # step is a blocking device round-trip (~28 ms through the tunnel)
+        # that also serializes dispatch.  Flushing every log_every steps
+        # keeps dispatch async while bounding the in-flight queue.
+        pending_losses: list = []
+
+        def _flush_losses():
+            nonlocal total_loss
+            if pending_losses:
+                total_loss += float(jnp.stack(pending_losses).sum())
+                pending_losses.clear()
+
         for noisy, clean in train_loader:
             noisy_s, clean_s = shard_batch(mesh, (noisy, clean))
             params, opt_state, loss = train_step(params, opt_state, noisy_s, clean_s)
-            total_loss += float(loss)
+            pending_losses.append(loss)
             n_batches += 1
             step += 1
             if step % trainer_cfg.log_every == 0:
-                writer.scalars(step, train_loss=total_loss / n_batches)
+                _flush_losses()
+                writer.scalars(
+                    step,
+                    train_loss=total_loss / n_batches,
+                    lr=float(warmup_cosine_lr(step, sched_cfg)),
+                )
             if max_steps is not None and step >= max_steps:
                 break
+        _flush_losses()
         train_loss = total_loss / max(n_batches, 1)
         print(f"epoch {epoch}: train_loss={train_loss:.3f} "
               f"({n_batches} steps, {time.time() - t0:.0f}s)")
