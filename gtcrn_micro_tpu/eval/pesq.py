@@ -44,15 +44,16 @@ consulted):
 
 Caveat on time alignment: the ITU code tracks per-utterance variable delay
 (crude envelope + fine spectral alignment, utterance splitting).  This
-implementation estimates one global delay, then (r4) refines a
-PIECEWISE-CONSTANT per-utterance residual delay by local
-cross-correlation (``_refine_utterance_delays``) -- so spliced or
-stepped-delay material is scored correctly, not just sample-aligned
-pairs.  Remaining simplification: delay DRIFT *within* one utterance
-(e.g. resampling-rate skew) is not tracked; such material still scores
-low.  The refinement is inert by construction on sample-aligned pairs
-(shifts below 8 samples, or not clearly beating lag 0, are rejected),
-which the frozen goldens pin.
+implementation estimates one global delay, then refines per-utterance
+residual delays by local cross-correlation with RECURSIVE SPLITTING
+(``_refine_utterance_delays``, the P.862 SS10.2 structure): when the two
+halves of a segment confidently prefer different lags the segment splits
+at its midpoint and each part re-aligns -- so stepped-delay material AND
+within-utterance drift (e.g. resampling-rate skew, r5) are tracked as a
+piecewise-constant staircase down to 0.25 s granularity.  The refinement
+is inert by construction on sample-aligned pairs (halves agree on lag 0,
+shifts below 8 samples or not clearly beating lag 0 are rejected), which
+the frozen goldens pin.
 """
 
 from __future__ import annotations
@@ -211,58 +212,145 @@ def _utterance_bounds(x: np.ndarray, fs: int = FS,
     return [(s * hop, min(e * hop, len(x))) for s, e in merged]
 
 
+def _segment_lag(ref: np.ndarray, deg: np.ndarray, s: int, e: int,
+                 max_lag: int, lo_lag: int | None = None,
+                 hi_lag: int | None = None) -> tuple[int, float, float]:
+    """Residual lag of ``deg`` vs ``ref`` over [s, e) by local
+    cross-correlation searched within ``[lo_lag, hi_lag]`` (default
+    +/- ``max_lag``).
+
+    Returns ``(lag, peak, zero_val)`` -- the best lag, its correlation
+    value and the lag-0 correlation (for acceptance gating).
+    """
+    n = len(ref)
+    r = ref[s:e]
+    lo, hi = max(0, s - max_lag), min(n, e + max_lag)
+    # pad so d spans the FULL virtual window [s-max_lag, e+max_lag) --
+    # without this, a segment ending near the signal edge cannot be
+    # searched at positive lags at all (out-of-range deg is silence)
+    d = np.concatenate([
+        np.zeros(max_lag - (s - lo)), deg[lo:hi],
+        np.zeros(max_lag - (hi - e)),
+    ])
+    m = 1 << int(np.ceil(np.log2(len(d) + len(r))))
+    c = np.fft.irfft(np.conj(np.fft.rfft(r, m)) * np.fft.rfft(d, m), m)
+    # c[k] = sum_i r[i] * d[i+k] (zero-padded); d[j] is the virtual
+    # deg[s - max_lag + j], so shift k maps to lag k - max_lag
+    vals = c[: 2 * max_lag + 1]
+    a = max(0, (lo_lag if lo_lag is not None else -max_lag) + max_lag)
+    b = min(2 * max_lag, (hi_lag if hi_lag is not None else max_lag)
+            + max_lag)
+    best = a + int(np.argmax(vals[a : b + 1]))
+    return best - max_lag, float(vals[best]), float(vals[max_lag])
+
+
 def _refine_utterance_delays(ref: np.ndarray, deg: np.ndarray,
                              max_lag: int = FS // 8,
                              min_shift: int = 8,
-                             min_gain: float = 1.05) -> np.ndarray:
-    """Per-utterance residual-delay realignment of ``deg`` vs ``ref``
-    (both already globally aligned, equal length).
+                             min_gain: float = 1.05,
+                             min_seg_s: float = 0.25) -> np.ndarray:
+    """Variable-delay realignment of ``deg`` vs ``ref`` (both already
+    globally aligned, equal length) -- the P.862 SS10.2 crude->fine
+    utterance-split structure: each active utterance recursively halves
+    down to ``min_seg_s`` leaves, every level's cross-correlation
+    estimate centering its children's narrowed (+/- 32 ms) search; the
+    accepted leaf lags then anchor a CONTINUOUS piecewise-linear delay
+    track and ``deg`` is realigned by one smooth warp.  Stepped delays
+    AND within-utterance DRIFT (e.g. resampling skew) are thereby
+    inverted -- the warp IS the inverse resample -- without the boundary
+    discontinuities per-segment splicing would introduce.
 
-    P.862 tracks variable delay per utterance; this is the piecewise-
-    constant form of that: each utterance's residual lag is estimated by
-    local cross-correlation (+/- ``max_lag`` = 125 ms) and its degraded
-    segment shifted accordingly.  A shift is only accepted when it is
-    non-trivial (|lag| >= ``min_shift`` samples) AND its correlation peak
-    beats lag 0 by ``min_gain`` -- so sample-aligned material (this
-    framework's own outputs) passes through bit-identically and the
-    frozen goldens pin that.  Within-utterance drift remains out of
-    scope (documented limitation)."""
+    A leaf anchors the track only when its correlation is real
+    (normalized >= 0.25 -- rejects silence and spurious periodic-alias
+    peaks) and, for nonzero lags, the peak beats lag 0 by ``min_gain``.
+    Sample-aligned material (this framework's own outputs) passes
+    through bit-identically: every leaf estimates lag ~0, the track
+    never reaches ``min_shift``, and the input is returned unwarped --
+    the frozen goldens pin that."""
     out = deg.copy()
     n = len(ref)
-    for s, e in _utterance_bounds(ref):
-        e = min(e, n)
+    min_seg = int(min_seg_s * FS)
+    fine = FRAME  # child segments search +/- 32 ms around the parent lag
+    min_ncorr = 0.25
+
+    def ncorr(s: int, e: int, lag: int, peak: float) -> float:
+        """Normalized correlation of the winning alignment -- rejects
+        silence (zero energy either side) and weak spurious peaks."""
+        a, b = max(0, s + lag), min(n, e + lag)
+        if b <= a:
+            return 0.0
+        er = float(np.sum(ref[s:e] ** 2))
+        ed = float(np.sum(deg[a:b] ** 2))
+        if er <= 0.0 or ed <= 0.0 or peak <= 0.0:
+            return 0.0
+        return peak / float(np.sqrt(er * ed))
+
+    points: list[tuple[int, int]] = []  # (leaf center, accepted lag)
+
+    def align(s: int, e: int, center: int | None) -> None:
+        """Recursively scan [s, e) down to ``min_seg`` leaves (the ITU
+        crude->fine cascade): each level estimates its lag only to CENTER
+        the children's +/- ``fine`` search (drift is smooth within an
+        utterance, so a child's lag sits near its parent's even when the
+        parent's whole-segment correlation is smeared by that same
+        drift); gating happens at the leaves, where a true local
+        alignment correlates strongly.  ``center`` None = top level,
+        full +/- ``max_lag`` search."""
         if e - s < 2 * min_shift:
-            continue
-        r = ref[s:e]
-        lo, hi = max(0, s - max_lag), min(n, e + max_lag)
-        # pad so d spans the FULL virtual window [s-max_lag, e+max_lag) --
-        # without this, an utterance ending near the signal edge cannot be
-        # searched at positive lags at all (out-of-range deg is silence)
-        d = np.concatenate([
-            np.zeros(max_lag - (s - lo)), deg[lo:hi],
-            np.zeros(max_lag - (hi - e)),
-        ])
-        m = 1 << int(np.ceil(np.log2(len(d) + len(r))))
-        c = np.fft.irfft(np.conj(np.fft.rfft(r, m)) * np.fft.rfft(d, m), m)
-        # c[k] = sum_i r[i] * d[i+k] (zero-padded); d[j] is the virtual
-        # deg[s - max_lag + j], so shift k maps to lag k - max_lag
-        vals = c[: 2 * max_lag + 1]
-        lags = np.arange(-max_lag, max_lag + 1)
-        zero_idx = np.where(lags == 0)[0]
-        zero_val = vals[zero_idx[0]] if len(zero_idx) else -np.inf
-        best = int(np.argmax(vals))
-        lag = int(lags[best])
-        if abs(lag) < min_shift:
-            continue
-        if zero_val > 0 and vals[best] < min_gain * zero_val:
-            continue
-        src_lo, src_hi = s + lag, e + lag
-        seg = np.zeros(e - s)
-        a, b = max(0, src_lo), min(n, src_hi)
-        if b > a:
-            seg[a - src_lo : (a - src_lo) + (b - a)] = deg[a:b]
-        out[s:e] = seg
-    return out
+            return
+        win = ((None, None) if center is None
+               else (center - fine, center + fine))
+        lag, peak, zero = _segment_lag(ref, deg, s, e, max_lag, *win)
+        if e - s >= 2 * min_seg:
+            mid = (s + e) // 2
+            align(s, mid, lag)
+            align(mid, e, lag)
+            return
+        # leaf gates: a nonzero lag must clearly beat lag 0, and the
+        # aligned correlation must be real (rejects silence and
+        # spurious periodic-alias peaks); accepted lag-0 leaves are
+        # kept as track anchors
+        if lag != 0 and zero > 0 and peak < min_gain * zero:
+            return
+        if ncorr(s, e, lag, peak) < min_ncorr:
+            return
+        points.append(((s + e) // 2, lag))
+
+    for s, e in _utterance_bounds(ref):
+        align(s, min(e, n), None)
+    if not points:
+        return out
+    lags = np.array([l for _, l in points], float)
+    if np.max(np.abs(lags)) < min_shift:
+        # every accepted leaf is (near-)aligned: bit-identical passthrough
+        return out
+    # Continuous delay track through the leaf anchors (piecewise-linear,
+    # constant extrapolation) and ONE smooth warp of deg -- unlike
+    # per-leaf splicing this introduces no boundary discontinuities, and
+    # it inverts resampler skew exactly (the warp is the inverse resample)
+    centers = np.array([c for c, _ in points], float)
+    track = np.interp(np.arange(n, dtype=float), centers, lags)
+    xi = np.clip(np.arange(n, dtype=float) + track, 0.0, n - 1.0)
+    return _sinc_warp(deg, xi)
+
+
+def _sinc_warp(x: np.ndarray, xi: np.ndarray, taps: int = 16) -> np.ndarray:
+    """Evaluate ``x`` at fractional positions ``xi`` with a Hann-windowed
+    sinc kernel.  Linear interpolation's sinc^2 rolloff audibly dulls
+    wideband speech at half-sample offsets (and PESQ hears it: ~-0.3 MOS
+    on a warped 16 kHz clip); a 16-tap windowed sinc is transparent
+    through the 0-8 kHz band.  Integer positions reproduce samples
+    exactly (the kernel degenerates to a delta)."""
+    n = len(x)
+    base = np.floor(xi).astype(np.int64)
+    frac = xi - base
+    half = taps // 2
+    k = np.arange(1 - half, half + 1)  # offsets around the base sample
+    arg = frac[:, None] - k[None, :]
+    h = np.sinc(arg) * (0.5 + 0.5 * np.cos(np.pi * arg / half))
+    h /= h.sum(axis=1, keepdims=True)  # unity DC gain at every phase
+    idx = np.clip(base[:, None] + k[None, :], 0, n - 1)
+    return (x[idx] * h).sum(axis=1)
 
 
 def _frames_power(x: np.ndarray) -> np.ndarray:

@@ -187,3 +187,27 @@ def test_cross_check_vs_itu_package():
         ours = pesq_wb(x, x + n)
         theirs = itu.pesq(16000, x, x + n, "wb")
         assert abs(ours - theirs) < 0.35, (snr, ours, theirs)
+
+
+def test_resample_skew_tracked_by_utterance_alignment():
+    """r4 verdict #8: within-utterance delay DRIFT (resampling-rate skew)
+    must be tracked, not just stepped delays.  A 0.05% clock skew smears
+    8 ms of drift across 16 s of real speech -- with the crude->fine
+    leaf track + smooth warp the score must recover to within noise of
+    the unskewed pair, and far above the drifting (global-align-only)
+    score."""
+    x = _speech(n=256000)  # use the full clip: drift accumulates
+    base = pesq_wb(x, x)
+    # 0.1% / 0.2% skew = 16 / 32 ms of drift over 16 s: global-only
+    # alignment collapses (measured 3.21 / 2.62) while the tracked warp
+    # sits at the resampling ceiling (4.41 / 4.30 vs base 4.42)
+    for skew, min_gain in ((1.001, 0.8), (1.002, 1.2)):
+        xi = np.arange(len(x)) * skew
+        xi = xi[xi < len(x) - 1]
+        deg = np.pad(
+            np.interp(xi, np.arange(len(x)), x), (0, len(x) - len(xi))
+        )
+        aligned = pesq_wb(x, deg)
+        drifting = pesq_wb(x, deg, utterance_align=False)
+        assert aligned > base - 0.25, (skew, aligned, base)
+        assert aligned > drifting + min_gain, (skew, aligned, drifting)
