@@ -344,27 +344,66 @@ def augmented_hessian_specs(model, params, wav_dir: str, n_clips: int = 96,
     NEGATIVE held-out (−0.6 dB, scripts/gptq_eval.py) while the 96-clip
     augmented corpus flips it positive — the per-layer objective needs
     input DIVERSITY, exactly where the end-to-end objective could not be
-    rescued by it (EVAL.md r4).  This mirrors
-    quant/qat.build_augmented_corpus's measured recipe, input-only (GPTQ
-    needs no distillation targets), with the clean proxies computed as
-    the fp32 model's own enhancements so it works for any wav dir, not
-    just the reference examples with shipped enh pairs."""
+    rescued by it (EVAL.md r4).
+
+    When the wav dir's ``noisy<N>.wav`` files (symlinks followed) have
+    ``enh<N>.wav`` siblings — the reference-examples layout every
+    measured A/B ran on — the corpus is built by
+    ``quant/qat.build_augmented_corpus`` itself with the LAST id as the
+    val source, i.e. the EXACT recipe (real enh clean proxies, same RNG
+    stream) behind the 26.7 dB sim (EVAL.md r4c); the r4 exporter's
+    input-only proxy variant (clean proxies = the fp32 model's own
+    enhancements) under-realized that sim by 0.4 dB and remains only as
+    the fallback for wav dirs without enh pairs."""
     import os
+    import re
 
     from gtcrn_micro_tpu.dsp.stft import sqrt_hann_window, stft
     from gtcrn_micro_tpu.io.wav import read_wav
     from gtcrn_micro_tpu.quant.qat import (
         _mix_at_snr,
         _pink_noise,
+        build_augmented_corpus,
         enhance_fp32_batch,
     )
 
     seg = int(segment_seconds * fs)
     rng = np.random.default_rng(seed)
+
+    # --- A/B-exact path: noisy/enh pairs resolvable through symlinks ---
+    pair_ids: list[int] = []
+    src_dirs = set()
+    wav_names = sorted(f for f in os.listdir(wav_dir) if f.endswith(".wav"))
+    for f in wav_names:
+        m = re.fullmatch(r"noisy(\d+)\.wav", f)
+        if m is None:
+            pair_ids = []
+            break
+        real = os.path.realpath(os.path.join(wav_dir, f))
+        enh = os.path.join(os.path.dirname(real), f"enh{m.group(1)}.wav")
+        if not os.path.exists(enh):
+            pair_ids = []
+            break
+        pair_ids.append(int(m.group(1)))
+        src_dirs.add(os.path.dirname(real))
+    if len(pair_ids) >= 2 and len(src_dirs) == 1:
+        ids = sorted(pair_ids)
+        train_ids = tuple(ids[:-1]) if len(ids) > 2 else tuple(ids)
+        noisy_tr, _, _, _ = build_augmented_corpus(
+            model, params, src_dirs.pop(),
+            train_ids=train_ids, val_ids=(ids[-1],),
+            n_train=n_clips, n_val=4,
+            segment_seconds=segment_seconds, fs=fs, seed=seed,
+        )
+        window = sqrt_hann_window(model.config.win_len)
+        with _cpu_default_device():
+            return jnp.asarray(
+                stft(jnp.asarray(noisy_tr), window), jnp.float32
+            )
+
+    # --- fallback: input-only proxy corpus from ANY wav dir ---
     noisy_src = []
-    for f in sorted(os.listdir(wav_dir)):
-        if not f.endswith(".wav"):
-            continue
+    for f in wav_names:
         w, wav_fs = read_wav(os.path.join(wav_dir, f))
         if w.ndim > 1:
             w = w[:, 0]
