@@ -89,7 +89,7 @@ def stft_chunk(
     spec = jnp.fft.rfft(frames.astype(jnp.float32), n=_NFFT, axis=-1)
     spec = jnp.moveaxis(spec, -1, -2)  # (B, F, T)
     out = jnp.stack([spec.real, spec.imag], axis=-1).astype(chunk.dtype)
-    return out, dataclasses.replace(state, in_buf=segs[:, -1])
+    return out, dataclasses.replace(state, in_buf=segs[:, T])
 
 
 def istft_chunk(
@@ -117,7 +117,7 @@ def istft_chunk(
     B, T = frames.shape[0], frames.shape[1]
     out = out.reshape(B, T * _HOP).astype(spec.dtype)
     return out, dataclasses.replace(
-        state, ola_buf=tails[:, -1].astype(state.ola_buf.dtype)
+        state, ola_buf=tails[:, T - 1].astype(state.ola_buf.dtype)
     )
 
 
@@ -239,7 +239,7 @@ def _stft_chunk_mxu(state: DspState, chunk: jax.Array, fwd_np):
     F = fwd.shape[1] // 2
     spec = jnp.stack([ri[..., :F], ri[..., F:]], axis=-1)  # (B, T, F, 2)
     spec = jnp.moveaxis(spec, 1, 2).astype(chunk.dtype)  # (B, F, T, 2)
-    return spec, dataclasses.replace(state, in_buf=segs[:, -1])
+    return spec, dataclasses.replace(state, in_buf=segs[:, T])
 
 
 def _istft_chunk_mxu(state: DspState, spec: jax.Array, inv_np):
@@ -260,5 +260,5 @@ def _istft_chunk_mxu(state: DspState, spec: jax.Array, inv_np):
     )
     out = (heads + prev).reshape(B, T * _HOP).astype(spec.dtype)
     return out, dataclasses.replace(
-        state, ola_buf=tails[:, -1].astype(state.ola_buf.dtype)
+        state, ola_buf=tails[:, T - 1].astype(state.ola_buf.dtype)
     )

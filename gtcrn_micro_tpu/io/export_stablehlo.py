@@ -62,6 +62,52 @@ def export_streaming(model: GTCRNMicro, params, batch: int) -> bytes:
     return exported.serialize()
 
 
+def export_audio(
+    model: GTCRNMicro, params, batch: int, chunk_hops: int = 1,
+    dft: str = "mxu",
+) -> bytes:
+    """Serialized StableHLO for the SERVED program: one audio-in ->
+    audio-out step (online STFT -> streaming model step -> online iSTFT,
+    ``dsp/stream_dsp.make_audio_step`` — the program bench.py measures).
+
+    The reference's deployable streaming artifact wraps only the model and
+    leaves the DSP to the host (stream_onnx.py:15-129); this exports the
+    WHOLE served step, DSP state included, so a loader replays exactly what
+    serving runs.  Signature (flat, portable):
+
+        (params, dsp.in_buf (B,256), dsp.ola_buf (B,256), model_state dict,
+         chunk (B, 256*T)) -> (out_chunk, in_buf', ola_buf', model_state')
+
+    Output runs one hop behind input; the first emitted chunk is the
+    center-trim region (dsp/stream_dsp.py online-DSP contract).  ``dft``:
+    "mxu" exports the served MXU-DFT form (two dots); "fft" the
+    FFT-bit-exact form.
+    """
+    from jax import export as jexport
+
+    from gtcrn_micro_tpu.dsp import stream_dsp
+    from gtcrn_micro_tpu.dsp.stft import sqrt_hann_window
+
+    window = sqrt_hann_window(model.config.win_len)
+    step = stream_dsp.make_audio_step(model, window, dft=dft)
+
+    def flat_step(p, in_buf, ola_buf, mstate, chunk):
+        out, dsp, ms = step(
+            p, stream_dsp.DspState(in_buf, ola_buf), mstate, chunk
+        )
+        return out, dsp.in_buf, dsp.ola_buf, ms
+
+    dsp0 = stream_dsp.init_dsp_state(batch)
+    mstate0 = model.init_state(batch)
+    shapes = jax.tree.map(
+        lambda v: jax.ShapeDtypeStruct(v.shape, v.dtype),
+        (params, dsp0.in_buf, dsp0.ola_buf, mstate0),
+    )
+    chunk = jax.ShapeDtypeStruct((batch, 256 * chunk_hops), jnp.float32)
+    exported = jexport.export(jax.jit(flat_step))(*shapes, chunk)
+    return exported.serialize()
+
+
 def load_exported(path: str):
     """Deserialize an exported artifact; ``.call(*args)`` runs it."""
     from jax import export as jexport
@@ -76,6 +122,9 @@ def main(args=None) -> None:
     parser.add_argument("--out_dir", default="export")
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--frames", type=int, default=63)
+    parser.add_argument("--audio_hops", type=int, default=1,
+                        help="T (hops per chunk) for the audio-level "
+                             "serving-step artifacts (power of two <= 16)")
     parser.add_argument(
         "--format", choices=["all", "stablehlo", "onnx", "native",
                              "native-int8"],
@@ -118,10 +167,17 @@ def main(args=None) -> None:
         stream = export_streaming(model, params, ns.batch)
         with open(os.path.join(ns.out_dir, "gtcrn_micro_stream.stablehlo"), "wb") as f:
             f.write(stream)
-        produced.append(f"stablehlo offline ({len(off)} B) + stream ({len(stream)} B)")
+        audio = export_audio(model, params, ns.batch, ns.audio_hops)
+        with open(os.path.join(ns.out_dir, "gtcrn_micro_audio.stablehlo"), "wb") as f:
+            f.write(audio)
+        produced.append(
+            f"stablehlo offline ({len(off)} B) + stream ({len(stream)} B) "
+            f"+ audio step ({len(audio)} B)"
+        )
 
     if ns.format in ("all", "onnx"):
         from gtcrn_micro_tpu.io.onnx_export import (
+            export_audio_onnx,
             export_model_onnx,
             export_stream_onnx,
         )
@@ -132,7 +188,13 @@ def main(args=None) -> None:
         stream = export_stream_onnx(model, params, ns.batch)
         with open(os.path.join(ns.out_dir, "gtcrn_micro_stream.onnx"), "wb") as f:
             f.write(stream)
-        produced.append(f"onnx offline ({len(off)} B) + stream ({len(stream)} B)")
+        audio = export_audio_onnx(model, params, ns.batch, ns.audio_hops)
+        with open(os.path.join(ns.out_dir, "gtcrn_micro_audio.onnx"), "wb") as f:
+            f.write(audio)
+        produced.append(
+            f"onnx offline ({len(off)} B) + stream ({len(stream)} B) "
+            f"+ audio step ({len(audio)} B)"
+        )
 
     if ns.format in ("all", "native"):
         from gtcrn_micro_tpu.io.export_native import export_native_weights

@@ -559,3 +559,49 @@ def export_stream_onnx(model, params, batch: int = 1) -> bytes:
         output_names=["enhanced"] + [f"{k}.out" for k in keys],
         graph_name="gtcrn_micro_stream",
     )
+
+
+def export_audio_onnx(model, params, batch: int = 1,
+                      chunk_hops: int = 1) -> bytes:
+    """The SERVED audio-in -> audio-out step as ONNX: online STFT ->
+    streaming model step -> online iSTFT with all carried state threaded
+    (``dsp/stream_dsp.make_audio_step`` — the program bench.py measures).
+
+    The reference never ships this either way: its export wraps only the
+    model and leaves STFT/iSTFT to the host (stream_onnx.py:15-129).  Here
+    the transforms ride the MXU-DFT lowering (two MatMuls with the window
+    and OLA envelope folded in) because opset 16 has no FFT op — and that
+    is also the exact served form.  Model state is shift-mode (static
+    shapes, like :func:`export_stream_onnx`).
+
+    Inputs: "dsp.in_buf"/"dsp.ola_buf" (B,256), one per shift cache,
+    "audio_in" (B, 256*T); outputs mirror with ".out" + "audio_out".  The
+    output runs one hop behind the input; a fresh stream's first emitted
+    chunk is the discarded center-trim region (online-DSP contract,
+    dsp/stream_dsp.py:95-121).
+    """
+    from gtcrn_micro_tpu.dsp import stream_dsp
+    from gtcrn_micro_tpu.dsp.stft import sqrt_hann_window
+
+    window = sqrt_hann_window(model.config.win_len)
+    step = stream_dsp.make_audio_step(model, window, dft="mxu")
+    state = model.init_state(batch, ring=False)
+    keys = sorted(state)
+    dsp0 = stream_dsp.init_dsp_state(batch)
+    chunk = jnp.zeros((batch, 256 * chunk_hops), jnp.float32)
+
+    def fn(in_buf, ola_buf, state_list, c):
+        st = dict(zip(keys, state_list))
+        out, dsp, ms = step(
+            params, stream_dsp.DspState(in_buf, ola_buf), st, c
+        )
+        return out, dsp.in_buf, dsp.ola_buf, [ms[k] for k in keys]
+
+    return export_onnx(
+        fn,
+        (dsp0.in_buf, dsp0.ola_buf, [state[k] for k in keys], chunk),
+        input_names=["dsp.in_buf", "dsp.ola_buf"] + keys + ["audio_in"],
+        output_names=["audio_out", "dsp.in_buf.out", "dsp.ola_buf.out"]
+        + [f"{k}.out" for k in keys],
+        graph_name="gtcrn_micro_audio",
+    )
