@@ -24,6 +24,12 @@ def read_wav(
     """Read a wav file -> (samples float32 in [-1,1] shaped (n,) or (n, ch), fs).
 
     ``start``/``stop`` are in frames, mirroring soundfile.read's behavior.
+
+    ``dtype=np.int16`` returns the RAW 16-bit PCM samples (source must be
+    16-bit PCM) — the training data path uses this to halve host->device
+    transfer bytes; dequantizing ``int16 / 32768`` on device is bit-exact
+    vs the float path here (int16 values are exactly representable in f32
+    and the scale is a power of two).
     """
     with open(path, "rb") as f:
         header = f.read(12)
@@ -75,6 +81,17 @@ def read_wav(
                 f"truncated wav: {path} header promises {count} frames from "
                 f"offset {start_f}, file holds {len(raw) // block_align}"
             )
+
+    if dtype == np.int16:
+        if not (audio_fmt == 1 and bits == 16):
+            raise ValueError(
+                f"dtype=int16 requires 16-bit PCM source, got "
+                f"{audio_fmt}/{bits}bit: {path}"
+            )
+        x = np.frombuffer(raw, dtype="<i2")
+        if n_ch > 1:
+            x = x.reshape(-1, n_ch)
+        return x.astype(np.int16), fs
 
     if audio_fmt == 1 and bits == 16:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0

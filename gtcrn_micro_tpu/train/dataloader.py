@@ -58,6 +58,14 @@ class PairedWavDataset:
     train: bool = True
     pairing: str = "fileid"
     seed: int = 43
+    # "float32" (reference-exact host conversion) or "int16": emit the raw
+    # 16-bit PCM samples and let the jit'd step dequantize ON DEVICE
+    # (x / 32768, bit-exact -- io/wav.read_wav).  Halves host->device
+    # transfer bytes per batch, which matters twice on this tunnel: half
+    # the transfer time, and half the axon-client journal growth (the
+    # client retains every host->device payload for park/restore --
+    # scripts/leak_probe.py, PERF.md r5).
+    transfer_dtype: str = "float32"
 
     def __post_init__(self):
         clean_root = self.clean_root or self.noisy_root.replace("noisy", "clean")
@@ -115,15 +123,16 @@ class PairedWavDataset:
     def load_item(self, index: int) -> tuple[np.ndarray, np.ndarray]:
         noisy_path, clean_path = self.epoch_pairs[index]
         start, stop = self._crop(index)
-        noisy, _ = read_wav(noisy_path, start=start, stop=stop)
-        clean, _ = read_wav(clean_path, start=start, stop=stop)
+        dt = np.int16 if self.transfer_dtype == "int16" else np.float32
+        noisy, _ = read_wav(noisy_path, start=start, stop=stop, dtype=dt)
+        clean, _ = read_wav(clean_path, start=start, stop=stop, dtype=dt)
         if noisy.ndim > 1:
             noisy = noisy[:, 0]
         if clean.ndim > 1:
             clean = clean[:, 0]
         # static shapes for XLA: zero-pad short files to the crop length
-        out_n = np.zeros(self.length_samples, np.float32)
-        out_c = np.zeros(self.length_samples, np.float32)
+        out_n = np.zeros(self.length_samples, dt)
+        out_c = np.zeros(self.length_samples, dt)
         n = min(len(noisy), self.length_samples)
         out_n[:n] = noisy[:n]
         out_c[: min(len(clean), self.length_samples)] = clean[: self.length_samples]

@@ -219,6 +219,8 @@ def run(config, *, distributed: bool = False, max_steps: int | None = None):
             val_loss += float(loss)
             wav = np.asarray(istft(enhanced_spec, window,
                                    length=clean.shape[1]))
+            if clean.dtype == np.int16:  # int16 transfer path: score in f32
+                clean = clean.astype(np.float32) / 32768.0
             for b in range(wav.shape[0]):
                 s = quality_score(clean[b], wav[b], fs)
                 if np.isfinite(s):  # nan-aware: one failed PESQ must not

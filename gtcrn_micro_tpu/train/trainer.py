@@ -37,6 +37,20 @@ from gtcrn_micro_tpu.train.scheduler import WarmupCosineConfig, warmup_cosine_lr
 BN_MOMENTUM = 0.1  # torch BatchNorm2d default
 
 
+def _dequant_audio(x):
+    """int16 PCM -> f32 in [-1, 1) ON DEVICE, identity for float input.
+
+    The data path may ship raw 16-bit PCM to halve host->device transfer
+    bytes (dataloader.PairedWavDataset transfer_dtype="int16"); the scale
+    is a power of two and int16 is exactly representable in f32, so this
+    is bit-identical to converting on the host (io/wav.read_wav).  jit
+    specializes on input dtype, so the branch costs nothing.
+    """
+    if x.dtype == jnp.int16:
+        return x.astype(jnp.float32) * (1.0 / 32768.0)
+    return x
+
+
 @dataclasses.dataclass(frozen=True)
 class TrainerConfig:
     epochs: int = 400
@@ -160,6 +174,8 @@ def make_train_step(
     window = hann_window(trainer_cfg.win_len)
 
     def compute_loss(params, noisy, clean):
+        noisy = _dequant_audio(noisy)
+        clean = _dequant_audio(clean)
         noisy_spec = stft(
             noisy, window, trainer_cfg.n_fft, trainer_cfg.hop_len, trainer_cfg.win_len
         )
@@ -199,6 +215,8 @@ def make_eval_step(
     window = hann_window(trainer_cfg.win_len)
 
     def eval_step(params, noisy, clean):
+        noisy = _dequant_audio(noisy)
+        clean = _dequant_audio(clean)
         noisy_spec = stft(
             noisy, window, trainer_cfg.n_fft, trainer_cfg.hop_len, trainer_cfg.win_len
         )
