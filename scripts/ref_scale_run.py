@@ -1,26 +1,39 @@
-"""Reference-scale training traversal with a mid-run SIGKILL + resume.
+"""Reference-scale training traversal with mid-run SIGKILL + resume seams.
 
 Executes the single largest previously-untested surface of the rebuild
 (r4 verdict #1): the real recipe SHAPE — batch 8 x 10 s crops, warmup 25k /
 cosine-decay-to-250k schedule (reference conf/cfg_train_DNS3.yaml,
 utils/scheduler.py:39-51), per-epoch checkpoints, best tracking — run far
 enough to cross the warmup knee into the cosine region (22 epochs x 1250
-steps = 27,500 steps), with a SIGKILL mid-epoch-11 and an orbax resume that
+steps = 27,500 steps), with a SIGKILL mid-epoch and an orbax resume that
 finishes the same recipe (reference resume: train.py:223-237).
 
 Corpus: the in-env synthetic tone-mixture recipe (make_smoke_data), 10,000
 train clips x 10 s — the reference epoch shape (num_data_per_epoch=10000,
 batch 8 -> 1250 steps/epoch).
 
-Produces <root>/summary.json with the three verdicts the evidence needs:
+RSS watchdog (r5): the axon tunnel client journals every host->device
+payload for session park/restore, so trainer host RSS grows with every
+batch transferred (scripts/leak_probe{,2}.py convicted the transfer layer
+itself: ~1.27x payload bytes, unconditionally).  The r5 first attempt
+died at step ~12,050 when the 128 GB host OOM-killed it.  Two-part
+response: the data path ships int16 PCM (halves bytes; bit-exact,
+tests/train/test_int16_transfer.py), and this driver SIGKILLs + resumes
+the trainer whenever its RSS crosses --rss-limit-gb — every restart is
+one more observed kill/resume seam, i.e. the failure mode feeds the
+evidence this run exists to produce.
+
+Produces <root>/summary.json with the verdicts the evidence needs:
   - lr_traverse: metrics.jsonl lr ramps linearly to max_lr at step 25,000
     then decreases (cosine) — the warmup knee was crossed in-graph
-  - seam_continuity: train_loss just after the resume seam vs just before
+  - seams: per restart, the checkpoint step resumed from and train_loss
+    just before vs just after (continuity across every kill)
   - retention: checkpoint steps on disk (max_to_keep window + best)
 
 Run:  python scripts/ref_scale_run.py [--kill-at-step 13000] [--root ...]
-(backgrounded; ~45-70 min on one v5e chip at bf16, incl. the documented
-post-kill device-grant reattach delay of up to ~15 min.)
+      [--resume-only]
+(backgrounded; a few hours on one v5e chip at bf16 incl. the documented
+post-kill device-grant reattach delay of up to ~15 min per restart.)
 """
 
 from __future__ import annotations
@@ -57,12 +70,16 @@ def base_config(root: str) -> dict:
             "fs": 16000, "length_seconds": 10,
             "num_data_per_epoch": 10000, "random_start": False,
             "train": True,
+            # ship raw PCM, dequantize in-graph (bit-exact; halves the
+            # axon journal growth -- module docstring)
+            "transfer_dtype": "int16",
         },
         "train_dataloader": {"batch_size": 8, "num_workers": 2,
                              "drop_last": True},
         "valid_dataset": {
             "noisy_root": os.path.join(root, "data/val/noisy"),
             "fs": 16000, "length_seconds": 10, "train": False,
+            "transfer_dtype": "int16",
         },
         "valid_dataloader": {"batch_size": 4, "num_workers": 2},
         "samplerate": 16000,
@@ -119,12 +136,44 @@ def launch(cfg_path: str, log_path: str) -> subprocess.Popen:
     )
 
 
+def rss_gb(pid: int) -> float:
+    try:
+        with open(f"/proc/{pid}/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1048576.0
+    except OSError:
+        pass
+    return 0.0
+
+
+def latest_ckpt_step(root: str) -> int:
+    d = exp_dir(root)
+    if d is None:
+        return 0
+    steps = [
+        int(os.path.basename(p)) for p in
+        glob.glob(os.path.join(d, "checkpoints", "[0-9]*"))
+        if os.path.basename(p).isdigit()
+    ]
+    return max(steps, default=0)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/gtcrn_ref_scale")
     ap.add_argument("--kill-at-step", type=int, default=13000,
                     help="SIGKILL run 1 at this step (mid-epoch-11; the "
                          "epoch-10 checkpoint at 12500 is the resume point)")
+    ap.add_argument("--resume-only", action="store_true",
+                    help="skip the fresh launch: resume the existing run "
+                         "under --root (e.g. after an externally-killed "
+                         "run 1 -- the r5 host-OOM kill at step ~12,050 is "
+                         "itself a valid mid-epoch SIGKILL seam)")
+    ap.add_argument("--rss-limit-gb", type=float, default=55.0,
+                    help="SIGKILL + resume the trainer when its RSS "
+                         "crosses this (axon journal growth; docstring)")
+    ap.add_argument("--max-restarts", type=int, default=12)
     args = ap.parse_args()
     root = args.root
     os.makedirs(root, exist_ok=True)
@@ -142,42 +191,72 @@ def main() -> int:
     with open(p2, "w") as f:
         yaml.safe_dump(cfg2, f)
 
-    # ---- phase 1: fresh run, SIGKILL mid-epoch-11 ----
-    print("phase 1: launch fresh run", flush=True)
+    # ---- watchdog loop: run to completion through kill/resume seams ----
     t0 = time.time()
-    proc = launch(p1, os.path.join(root, "run1.log"))
-    killed_at = None
+    proc = None
+    run_no = 0
+    intentional_done = args.resume_only
+    killed_at = last_logged_step(root) if args.resume_only else None
+    seams: list[dict] = []
+    if args.resume_only:
+        print(f"--resume-only: existing run last logged step {killed_at}",
+              flush=True)
+
     while True:
+        if proc is None:
+            run_no += 1
+            if run_no > args.max_restarts:
+                print(f"giving up after {args.max_restarts} restarts",
+                      flush=True)
+                return 3
+            fresh = run_no == 1 and not args.resume_only
+            if not fresh:
+                seam = latest_ckpt_step(root)
+                seams.append({"resumed_from_ckpt_step": seam,
+                              "killed_at_logged_step":
+                                  last_logged_step(root)})
+                print(f"relaunch {run_no}: resuming from checkpoint step "
+                      f"{seam} (next attach may stall ~15 min)", flush=True)
+                time.sleep(10)
+            else:
+                print("launch fresh run", flush=True)
+            # timestamped log names so a --resume-only pass never clobbers
+            # the earlier attempt's evidence
+            proc = launch(p1 if fresh else p2,
+                          os.path.join(root,
+                                       f"run{run_no}_{int(t0)}.log"))
         time.sleep(20)
-        if proc.poll() is not None:
-            print(f"run 1 exited rc={proc.returncode} before the kill point",
+        rc = proc.poll()
+        if rc is not None:
+            step = last_logged_step(root)
+            if rc == 0:
+                print(f"trainer completed (rc=0) at step {step}", flush=True)
+                break
+            print(f"trainer exited rc={rc} at step {step}; relaunching",
                   flush=True)
-            return 1
+            proc = None
+            continue
         step = last_logged_step(root)
-        print(f"  t={time.time() - t0:7.0f}s step={step}", flush=True)
-        if step >= args.kill_at_step:
+        rss = rss_gb(proc.pid)
+        print(f"  t={time.time() - t0:7.0f}s run={run_no} step={step} "
+              f"rss={rss:5.1f} GB", flush=True)
+        if not intentional_done and step >= args.kill_at_step:
             os.kill(proc.pid, signal.SIGKILL)
             proc.wait()
+            proc = None
+            intentional_done = True
             killed_at = step
-            print(f"SIGKILLed run 1 at logged step {step}", flush=True)
-            break
+            print(f"SIGKILL (intentional seam) at logged step {step}",
+                  flush=True)
+        elif rss > args.rss_limit_gb:
+            os.kill(proc.pid, signal.SIGKILL)
+            proc.wait()
+            proc = None
+            print(f"SIGKILL (rss watchdog: {rss:.1f} GB > "
+                  f"{args.rss_limit_gb} GB) at logged step {step}",
+                  flush=True)
 
-    # ---- phase 2: resume, run to completion ----
-    # the next TPU attach after a killed process can stall up to ~15 min
-    # (documented tunnel behavior); just wait it out
-    time.sleep(30)
-    print("phase 2: resume", flush=True)
-    t1 = time.time()
-    proc = launch(p2, os.path.join(root, "run2.log"))
-    while proc.poll() is None:
-        time.sleep(60)
-        print(f"  t={time.time() - t1:7.0f}s step={last_logged_step(root)}",
-              flush=True)
-    print(f"run 2 exited rc={proc.returncode}", flush=True)
-    if proc.returncode != 0:
-        return 2
-
-    # ---- phase 3: verify ----
+    # ---- verify ----
     d = exp_dir(root)
     recs = []
     with open(os.path.join(d, "logs/metrics.jsonl")) as f:
@@ -185,11 +264,19 @@ def main() -> int:
             recs.append(json.loads(line))
     lr = [(r["step"], r["lr"]) for r in recs if "lr" in r]
     tl = [(r["step"], r["train_loss"]) for r in recs if "train_loss" in r]
-    # seam: resume restored the epoch-10 checkpoint (step 12500)
-    seam = 12500
-    before = [v for s, v in tl if seam - 500 <= s <= seam]
-    after = [v for s, v in tl if seam < s <= seam + 500 and s > killed_at]
-    # after-the-seam points are re-runs of epoch 11 by run 2; compare level
+    # continuity at every restart: metrics.jsonl is append-only, so a
+    # restart shows as a step that does not increase between consecutive
+    # train_loss records (the resumed run re-logs the killed epoch's steps)
+    seam_stats = []
+    for i in range(1, len(tl)):
+        if tl[i][0] <= tl[i - 1][0]:
+            before = [v for _, v in tl[max(0, i - 10):i]]
+            after = [v for _, v in tl[i:i + 10]]
+            seam_stats.append({
+                "resumed_at_step": tl[i][0],
+                "loss_before_mean": sum(before) / len(before),
+                "loss_after_mean": sum(after) / len(after),
+            })
     lr_at = dict(lr)
     peak_step = max(lr, key=lambda sv: sv[1])[0]
     ckpt_steps = sorted(
@@ -202,16 +289,16 @@ def main() -> int:
     summary = {
         "exp_dir": d,
         "killed_at_logged_step": killed_at,
+        "driver_seams": seams,
+        "seam_continuity": seam_stats,
         "final_step": max(s for s, _ in tl),
         "lr_peak_step": peak_step,
         "lr_at_24950": lr_at.get(24950),
         "lr_at_25000": lr_at.get(25000),
         "lr_at_27500": lr_at.get(27500),
-        "loss_before_seam_mean": sum(before) / max(len(before), 1),
-        "loss_after_seam_mean": sum(after) / max(len(after), 1),
         "checkpoint_steps_on_disk": ckpt_steps,
         "best": best,
-        "run1_wall_s": None,
+        "restarts": run_no - 1,
         "total_wall_s": time.time() - t0,
     }
     out = os.path.join(root, "summary.json")
