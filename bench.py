@@ -271,6 +271,24 @@ def main() -> None:
                 break
             k += 1
 
+    # -- phase 2c: COMPOSED psum + fp8 ring storage ---------------------------
+    # PERF.md r4 measured l2_psum (+1.6-3.5%) and fp8 ring storage (+2.0%)
+    # separately and noted they compose; this probes the composed layout (the
+    # one margin never tried at the 73,728 plateau): the 14 L==2 caches carry
+    # compute-dtype partial sums (fresh values -- narrowing them would
+    # compound error through the recurrence), the 6 L>=4 rings store fp8.
+    # CohortServer serves it via state_opts; quality is characterized in
+    # tests/models/test_gtcrn_micro.py::test_composed_psum_fp8_state and
+    # PERF.md (a quality-trade tier, unlike the bf16-exact psum layout).
+    if _BEST["streams"] and _left() > 120:
+        b, k = _BEST["cfg"]
+        while _left() > 60:
+            ok, _ = _verify(model, params, b, k + 1, rtt, l2_psum=True,
+                            store_dtype=jnp.float8_e4m3fn)
+            if not ok:
+                break
+            k += 1
+
     # -- phase 3: sweep alternates with remaining budget ---------------------
     # per-stream cost is batch-dependent (PERF.md r3), so the best config is
     # cohorts of a mid-size batch; these brackets the champion

@@ -230,6 +230,32 @@ def test_fp8_ring_storage_runs_and_degrades_gracefully(model, params):
     assert snr > 10.0, f"fp8 ring storage SNR {snr:.1f} dB"
 
 
+def test_composed_psum_fp8_state(model, params):
+    """l2_psum + store_dtype=fp8 COMPOSED (the r4 plateau-attack config,
+    bench phase 2b/2c): the 14 L==2 caches become compute-dtype partial
+    pairs (fresh values each step -- narrowing them would compound error
+    in the recurrence), the 6 L>=4 rings store fp8, and the stream stays
+    finite and tracks fp32 across a counter wrap."""
+    spec = jax.random.normal(jax.random.PRNGKey(19), (1, 257, 20, 2)) * 0.5
+    offline = np.asarray(model.apply_jit(params, spec))
+    state = model.init_state(1, ring=True, l2_psum=True,
+                             store_dtype=jnp.float8_e4m3fn)
+    rings = [k for k in state if k.endswith("/ring")]
+    psums = [k for k in state if k.endswith("psum_a")]
+    assert len(psums) == 14 and len(rings) == 6
+    assert all(state[k].dtype == jnp.float8_e4m3fn for k in rings)
+    assert all(state[k].dtype == jnp.float32 for k in psums)
+    outs = []
+    for t in range(20):
+        y, state = model.step_jit(params, state, spec[:, :, t : t + 1])
+        outs.append(np.asarray(y))
+    got = np.concatenate(outs, 2)
+    assert np.isfinite(got).all()
+    err = got - offline
+    snr = 10 * np.log10(np.sum(offline**2) / max(np.sum(err**2), 1e-20))
+    assert snr > 10.0, f"composed psum+fp8 SNR {snr:.1f} dB"
+
+
 def test_bn_folding_equivalence(model, params):
     """fold_bn_params must be numerically equivalent (serving transform)."""
     from gtcrn_micro_tpu.models.folding import fold_bn_params
