@@ -2,23 +2,29 @@
 
 bench.py's keep-up/latency verdicts come from back-to-back round-robin step
 timing -- a derived contract (r4 verdict #5: "serving latency is derived,
-not observed").  This soak OBSERVES it: the host fires each cohort's step
-at its scheduled phase slot (absolute time.monotonic schedule, the loop
-serve.py:22-24 defers to "the host server"), runs >= 30 s, admits and
-releases streams mid-run (including forced dirty-slot resets, the r3
-privacy-bug path), and reports a per-frame latency histogram.
+not observed").  This soak OBSERVES it: the host sleeps to each interval's
+absolute ``time.monotonic`` start, dispatches the K cohort steps
+back-to-back (each lands near its phase slot because step time ~= the
+16/K ms phase width -- the schedule the keep-up verdict promises), runs
+>= 30 s, admits and releases streams mid-run (including forced dirty-slot
+resets, the r3 privacy-bug path), and reports a per-frame latency
+histogram.
 
-Latency per sampled frame = (wall time its enhanced chunk is observable on
-the host) - (its cohort's scheduled step time) - (calibrated fetch RTT).
-``block_until_ready`` does not block through the axon tunnel (CLAUDE.md),
-so observation = fetching one scalar of the output from a SAMPLER THREAD
-(the blocking fetch releases the GIL; the pacing loop keeps dispatching).
-Every P-th interval one rotating cohort is probed -- each fetch costs one
-~28 ms tunnel round-trip serialized in the sampler, so P is chosen to keep
-the sampler ahead of the probe rate.
+Probing: every P-th interval the main loop blocks on fetching one element
+of the just-dispatched cohort's output; the sample's latency is
+(fetch completion) - (that cohort's phase-slot schedule) - (calibrated
+RTT).  The fetch itself stalls ~1.6 interval of schedule -- observation
+tax a production server (async result DMA) would not pay -- so overruns
+inside the 2 intervals after a probe are reported separately as
+``probe_artifact_overruns`` and excluded from the pass verdict.  A v1 of
+this script fetched from a sampler thread instead; on this 1-core host
+the fetch starves against the dispatching main loop (every probe
+materialized only when dispatch stopped, reading ~60 s of fake latency)
+and the GIL contention tripled dispatch cost -- main-thread sparse
+probing is the design that measures what the device actually does.
 
 Pass/fail (reported, not enforced): probe p99 + (16/K) ms phase allowance
-<= 10 ms budget AND zero enqueue overruns (host fell behind schedule).
+<= 10 ms budget AND zero non-artifact enqueue overruns.
 
 Run (TPU must be otherwise idle; host near-idle -- CLAUDE.md):
   python scripts/serve_soak.py [--batch 8192 --cohorts 9 --seconds 30]
@@ -29,9 +35,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import queue
 import sys
-import threading
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -46,13 +50,21 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--cohorts", type=int, default=9)
     ap.add_argument("--seconds", type=float, default=30.0)
-    ap.add_argument("--probe-every", type=int, default=4,
-                    help="probe one cohort every P intervals")
+    ap.add_argument("--probe-every", type=int, default=64,
+                    help="probe one cohort every P intervals (each probe "
+                         "stalls ~26 ms of schedule; 64 -> the 0.5 ms/"
+                         "interval dispatch slack re-amortizes it)")
     ap.add_argument("--admit-every", type=float, default=2.0,
                     help="seconds between admission/release events")
+    ap.add_argument("--warm-seconds", type=float, default=20.0,
+                    help="free-run the round-robin this long before the "
+                         "paced phase: the tunnel device runs ~2x slower "
+                         "for its first ~15 s of activity (PERF.md r5)")
     ap.add_argument("--l2_psum", action="store_true")
     ap.add_argument("--out", default="/tmp/serve_soak.json")
     ns = ap.parse_args()
+
+    import numpy as np
 
     import jax
     import jax.numpy as jnp
@@ -83,50 +95,59 @@ def main() -> int:
     K = ns.cohorts
     chunk = jnp.zeros((ns.batch, model.config.hop_len), jnp.bfloat16)
 
-    # warm the executable + states (compile happens here, off the clock)
+    # warm the executable + states (compile happens here, off the clock),
+    # then free-run until the device leaves its cold phase
     for c in range(K):
         out = srv.step(c, chunk)
     sync(out)
-    print("# compiled + warmed; starting paced soak", flush=True)
-
-    # -- sampler thread: blocking scalar fetches off the pacing loop --------
-    q: queue.Queue = queue.Queue()
-    samples: list[tuple[float, float, int]] = []  # (scheduled, latency, n)
-
-    def sampler():
-        import numpy as np
-
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            probe, sched, n = item
-            np.asarray(probe)  # blocks until the step's output exists
-            t_done = time.monotonic()
-            samples.append((sched, t_done - sched - rtt, n))
-
-    th = threading.Thread(target=sampler, daemon=True)
-    th.start()
+    t_w = time.monotonic()
+    warm_steps = 0
+    while time.monotonic() - t_w < ns.warm_seconds:
+        for c in range(K):
+            out = srv.step(c, chunk)
+        warm_steps += K
+        if warm_steps % (50 * K) == 0:
+            sync(out)
+    sync(out)
+    warm_rate = (time.monotonic() - t_w) / max(warm_steps, 1)
+    print(f"# compiled + warmed ({warm_steps} steps, steady "
+          f"{warm_rate * 1e3:.2f} ms/step); starting paced soak", flush=True)
 
     n_intervals = int(ns.seconds / FRAME_S)
-    overruns = 0          # enqueue later than schedule + one phase slot
+    phase = FRAME_S / K
+    overruns = 0            # dispatched later than sched + one phase slot
+    artifact_overruns = 0   # ... within 2 intervals of a blocking probe
     admits = releases = forced_resets = 0
     active: list[tuple[int, int]] = []  # (cohort, slot)
     next_admit = ns.admit_every
-    phase = FRAME_S / K
+    samples: list[tuple[float, float]] = []  # (sched, latency)
+    last_probe_n = -10
 
     t0 = time.monotonic() + 0.05  # schedule epoch
     for n in range(n_intervals):
+        start = t0 + n * FRAME_S
+        now = time.monotonic()
+        if start > now:
+            time.sleep(start - now)
+        probe_c = (n // ns.probe_every) % K if n % ns.probe_every == 0 \
+            else -1
         for c in range(K):
-            sched = t0 + n * FRAME_S + c * phase
-            now = time.monotonic()
-            if sched > now:
-                time.sleep(sched - now)
-            elif now - sched > phase:
-                overruns += 1
+            sched = start + c * phase
+            late = time.monotonic() - sched
+            if late > phase:
+                if n - last_probe_n <= 2:
+                    artifact_overruns += 1
+                else:
+                    overruns += 1
             out = srv.step(c, chunk)
-            if n % ns.probe_every == 0 and c == (n // ns.probe_every) % K:
-                q.put((jnp.ravel(out)[:1], sched, n))
+            if c == probe_c:
+                # blocking in-band fetch: returns when this cohort's step
+                # output exists on the host (queue is shallow -- the loop
+                # paces at the frame rate, so this reads completion lag)
+                np.asarray(out[:1, :1])
+                samples.append(
+                    (sched, time.monotonic() - sched - rtt))
+                last_probe_n = n
         # admission churn between intervals (host-side bookkeeping; a
         # forced reset of a dirty slot adds real device work in-band)
         if (n + 1) * FRAME_S >= next_admit:
@@ -143,11 +164,10 @@ def main() -> int:
             active.append((c, srv.admit(c)))
             admits += 1
 
-    q.put(None)
-    th.join(timeout=120)
+    sync(out)
     wall = time.monotonic() - t0
 
-    lats = sorted(lat for _, lat, _ in samples)
+    lats = sorted(lat for _, lat in samples)
     if not lats:
         print("no samples collected", flush=True)
         return 1
@@ -155,7 +175,6 @@ def main() -> int:
     def pct(p):
         return lats[min(int(p / 100 * len(lats)), len(lats) - 1)]
 
-    phase_allow = FRAME_S / K
     report = {
         "batch": ns.batch, "cohorts": K,
         "streams": ns.batch * K,
@@ -171,15 +190,15 @@ def main() -> int:
             "p99": round(pct(99) * 1e3, 3),
             "max": round(lats[-1] * 1e3, 3),
         },
-        "phase_allowance_ms": round(phase_allow * 1e3, 3),
-        "p99_plus_phase_ms": round((pct(99) + phase_allow) * 1e3, 3),
+        "phase_allowance_ms": round(phase * 1e3, 3),
+        "p99_plus_phase_ms": round((pct(99) + phase) * 1e3, 3),
         "budget_ms": BUDGET_S * 1e3,
         "enqueue_overruns": overruns,
-        "budget_misses": sum(
-            1 for la in lats if la + phase_allow > BUDGET_S),
+        "probe_artifact_overruns": artifact_overruns,
+        "budget_misses": sum(1 for la in lats if la + phase > BUDGET_S),
         "admits": admits, "releases": releases,
         "forced_resets": forced_resets,
-        "pass": (pct(99) + phase_allow <= BUDGET_S and overruns == 0),
+        "pass": (pct(99) + phase <= BUDGET_S and overruns == 0),
     }
     with open(ns.out, "w") as f:
         json.dump(report, f, indent=1)
